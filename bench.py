@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark: edited images/sec/chip for the 256px, 100-step Adam parametric
+edit (BASELINE.json configs[0]) — the reference's
+`optimize_image_param.py` workload with the full pipeline: differentiable
+filter chain -> ten-crop 448px ResNet-50 VA regressor (fwd+bwd) -> CLIP
+ViT-B/32 recon loss (fwd+bwd) -> Adam, all fused into one scanned XLA program
+and vmapped over a batch of images.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the PyTorch-CPU per-step anchor measured on this
+host class by scripts/measure_torch_baseline.py (see BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rgie_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgie_tpu.config import OptimizeConfig, ParamEditConfig
+from rgie_tpu.engine import parametric as P
+from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
+from rgie_tpu.models.clip import create_clip_image_encoder
+from rgie_tpu.models.emotion import create_regressor
+
+NUM_STEPS = 100
+IMAGE_SIZE = 256
+BATCH = int(os.environ.get("RGIE_BENCH_BATCH", "4"))
+
+# PyTorch-CPU anchor: reference-equivalent objective step (ten-crop 448
+# ResNet-50 fwd+bwd + CLIP ViT-B/32 fwd+bwd + filter chain) measured by
+# scripts/measure_torch_baseline.py on this host class. images/sec for the
+# 100-step edit = 1 / (100 * step_seconds). None until measured.
+TORCH_CPU_STEP_SECONDS = _v if (_v := float(os.environ.get("RGIE_TORCH_STEP_SECONDS", "0"))) > 0 else None
+_BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "artifacts", "torch_baseline.json")
+if TORCH_CPU_STEP_SECONDS is None and os.path.exists(_BASELINE_FILE):
+    with open(_BASELINE_FILE) as f:
+        TORCH_CPU_STEP_SECONDS = json.load(f).get("step_seconds")
+
+
+def main():
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    regressor = create_regressor(k1)                     # 480/448 ten-crop ResNet-50
+    va_loss = ValenceArousalLoss(regressor=regressor)
+    clip_enc = create_clip_image_encoder(k2)             # ViT-B/32
+
+    cfg = ParamEditConfig(optimize=OptimizeConfig(num_steps=NUM_STEPS,
+                                                  learning_rate=0.05))
+    edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg))
+    models = P.models_of(va_loss, clip_enc)
+
+    images = jax.random.uniform(k3, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3))
+    alphas = jnp.full((BATCH, 2), 0.1)
+
+    # Warmup (compile)
+    t0 = time.time()
+    result, edited = jax.block_until_ready(edit(models, images, alphas))
+    compile_s = time.time() - t0
+
+    # Steady state
+    runs = 3
+    t0 = time.time()
+    for _ in range(runs):
+        result, edited = jax.block_until_ready(edit(models, images, alphas))
+    elapsed = (time.time() - t0) / runs
+
+    n_chips = jax.device_count()
+    images_per_sec_per_chip = BATCH / elapsed / n_chips
+    step_latency_ms = elapsed / NUM_STEPS * 1000.0  # batched step latency
+
+    vs_baseline = None
+    if TORCH_CPU_STEP_SECONDS:
+        torch_images_per_sec = 1.0 / (NUM_STEPS * TORCH_CPU_STEP_SECONDS)
+        vs_baseline = images_per_sec_per_chip / torch_images_per_sec
+
+    print(json.dumps({
+        "metric": "edited images/sec/chip (256px, 100-step Adam edit)",
+        "value": round(images_per_sec_per_chip, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "detail": {
+            "batch": BATCH,
+            "edit_seconds": round(elapsed, 3),
+            "per_step_ms_batched": round(step_latency_ms, 2),
+            "compile_seconds": round(compile_s, 1),
+            "chips": n_chips,
+            "torch_cpu_step_seconds": TORCH_CPU_STEP_SECONDS,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

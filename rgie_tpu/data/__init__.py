@@ -1,0 +1,10 @@
+"""Data layer: caption-feed + COCO datasets, host preprocessing, prefetch."""
+
+from rgie_tpu.data.dataset import (
+    CaptionFeedDataset,
+    CocoCaptionsDataset,
+    first_caption,
+    iterate_batches,
+    load_image_rgb,
+    preprocess_image,
+)

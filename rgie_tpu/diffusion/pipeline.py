@@ -1,0 +1,265 @@
+"""Inversion-resampling diffusion pipeline: DDIM-invert a real image, run
+null-text optimization, resample with classifier-free + classifier guidance.
+
+TPU-native redesign of the reference pipeline family
+(`/root/reference/src/pipelines/InversionResamplingDiffusionPipeline.py`,
+`InversionResamplingStableDiffusionPipeline.py`, `...XLPipeline.py`):
+
+  * inversion (reverse_sample:26-49) -> one `lax.scan` over ascending DDIM
+    steps, pivot latents are the scan's stacked outputs (the reference APPENDS
+    to a never-cleared list — SURVEY §2.4 quirk — we return them per call);
+  * sampling (sample:51-145) -> one `lax.scan`: CFG pair batched through the
+    UNet, DDIM/DPM step, then classifier guidance as `jax.grad` of the midu
+    score w.r.t. the latents (the reference's autograd.grad at :126-142),
+    gradient-normalized;
+  * null-text optimization (_null_optimization:124-219) -> outer scan over
+    timesteps, inner `lax.while_loop` with the reference's early-stop
+    `loss < eps + i*2e-5` and per-step Adam on the uncond embeddings
+    (lr = base_lr * (1 - i/100)); bf16 UNet + fp32 embedding masters replace
+    the torch GradScaler dance.
+
+Weights are jit ARGUMENTS (PipelineParams), not closure constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rgie_tpu.config import AdaptConfig, GuidanceConfig
+from rgie_tpu.diffusion import schedulers as SCH
+from rgie_tpu.diffusion.schedulers import DiffusionSchedule
+from rgie_tpu.diffusion.unet import UNet2DCondition
+from rgie_tpu.diffusion.vae import AutoencoderKL
+from rgie_tpu.models.midu import ValenceArousalMidu
+
+
+class PipelineParams(NamedTuple):
+    unet: Any
+    vae: Any
+    midu: Optional[Any] = None
+
+
+class SdxlCond(NamedTuple):
+    """SDXL added conditioning, rows aligned with the embeds batch."""
+
+    text_embeds: jnp.ndarray  # (B, 1280) pooled
+    time_ids: jnp.ndarray     # (B, 6)
+
+
+@dataclasses.dataclass(frozen=True)
+class InversionResamplingPipeline:
+    """Static configuration: modules + schedule. All methods are pure and
+    jittable given a PipelineParams pytree."""
+
+    unet: UNet2DCondition
+    vae: AutoencoderKL
+    sched: DiffusionSchedule
+    midu_model: Any = None            # MiduSD/MiduSDXL module (or None)
+    normalize_gradient: bool = True   # AdaptConfig.normalize_gradient
+    is_xl: bool = False
+
+    # -- UNet call helper ---------------------------------------------------
+
+    def _unet(self, params, latents, t, embeds, added: Optional[SdxlCond]):
+        kwargs = {}
+        if self.is_xl and added is not None:
+            b = latents.shape[0]
+            kwargs = dict(
+                added_text_embeds=jnp.broadcast_to(added.text_embeds, (b,) + added.text_embeds.shape[1:]),
+                added_time_ids=jnp.broadcast_to(added.time_ids, (b, 6)))
+        return self.unet.apply(params, latents, t, embeds, **kwargs)
+
+    # -- VAE transport (get_latents_from_img / decode_to_pil analogs) -------
+
+    def encode_image(self, params: PipelineParams, image: jnp.ndarray,
+                     key=None) -> jnp.ndarray:
+        """(B, H, W, 3) in [0,1] -> scaled latents. The reference preprocesses
+        to [-1,1] via the diffusers image processor
+        (...StableDiffusionPipeline.py:147-150)."""
+        x = image * 2.0 - 1.0
+        return self.vae.apply(params.vae, x, key, method=AutoencoderKL.encode)
+
+    def decode_latents(self, params: PipelineParams, latents: jnp.ndarray) -> jnp.ndarray:
+        """latents -> images in [0,1] (diff_utils.decode_latents:109-119)."""
+        img = self.vae.apply(params.vae, latents, method=AutoencoderKL.decode)
+        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+    # -- inversion ----------------------------------------------------------
+
+    def reverse_sample(self, params: PipelineParams, latents: jnp.ndarray,
+                       embeds: jnp.ndarray, added: Optional[SdxlCond] = None,
+                       end_iteration: Optional[int] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """DDIM inversion (reference: reverse_sample,
+        ...StableDiffusionPipeline.py:26-49). Returns (noisy_latents,
+        pivot_latents (S+1, ...)) — pivots[0] is the clean latent."""
+        ts = SCH.inverse_timesteps(self.sched)
+        if end_iteration is not None:
+            ts = ts[:end_iteration]
+
+        def body(lat, t):
+            eps, _ = self._unet(params.unet, lat, t, embeds, added)
+            new = SCH.ddim_inverse_step(self.sched, eps, t, lat)
+            return new, new
+
+        final, pivots = jax.lax.scan(body, latents, ts)
+        return final, jnp.concatenate([latents[None], pivots], axis=0)
+
+    # -- sampling with CFG + classifier guidance -----------------------------
+
+    def sample(self, params: PipelineParams, latents: jnp.ndarray,
+               prompt_embeds: jnp.ndarray,
+               added: Optional[SdxlCond] = None,
+               guidance_scale: float = 7.5,
+               guidance_clf_scale: float = 0.0,
+               guidance_rescale: float = 0.0,
+               uncond_embeds_per_step: Optional[jnp.ndarray] = None,
+               start_iteration: int = 0,
+               midu_is_minimized: bool = True,
+               midu_reference_value: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Denoise with CFG and per-step classifier guidance (reference:
+        sample, ...StableDiffusionPipeline.py:51-145). ``prompt_embeds`` is
+        (2, L, D) [uncond; cond] when guidance_scale > 1 else (1, L, D).
+        ``uncond_embeds_per_step`` (S, L, D) substitutes NTO embeddings
+        (:108-109)."""
+        ts = self.sched.timesteps[start_iteration:]
+        do_cfg = guidance_scale > 1.0
+        do_clf = self.midu_model is not None and guidance_clf_scale > 0.0
+        steps = jnp.arange(start_iteration, start_iteration + ts.shape[0])
+
+        def clf_score(lat, t, uncond):
+            _, mid = self._unet(params.unet, lat, t, uncond, added)
+            clf = ValenceArousalMidu(model=self.midu_model, variables=params.midu,
+                                     is_minimized=midu_is_minimized,
+                                     reference_value=midu_reference_value)
+            return clf.score(mid)
+
+        def body(lat, t_and_i):
+            t, i = t_and_i
+            if do_cfg:
+                embeds = prompt_embeds
+                if uncond_embeds_per_step is not None:
+                    embeds = embeds.at[0].set(uncond_embeds_per_step[i])
+                pair = jnp.concatenate([lat, lat], axis=0)
+                eps_pair, _ = self._unet(params.unet, pair, t, embeds, added)
+                eps_u, eps_c = jnp.split(eps_pair, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                if guidance_rescale > 0.0:
+                    eps = rescale_noise_cfg(eps, eps_c, guidance_rescale)
+            else:
+                eps, _ = self._unet(params.unet, lat, t, prompt_embeds, added)
+
+            lat = SCH.ddim_step(self.sched, eps, t, lat)
+
+            if do_clf:
+                # Classifier guidance on the POST-step latents, gradient
+                # normalized (reference :126-142). Uncond row of the embeds.
+                uncond = prompt_embeds[0:1] if do_cfg else prompt_embeds
+                if uncond_embeds_per_step is not None and do_cfg:
+                    uncond = uncond_embeds_per_step[i][None]
+                grad = jax.grad(clf_score)(lat, t, uncond)
+                if self.normalize_gradient:
+                    grad = grad / (jnp.linalg.norm(grad) + 1e-10)
+                lat = lat - guidance_clf_scale * grad
+            return lat, None
+
+        final, _ = jax.lax.scan(body, latents, (ts, steps))
+        return final
+
+    # -- null-text optimization ----------------------------------------------
+
+    def null_optimization(self, params: PipelineParams, pivot_latents: jnp.ndarray,
+                          cond_embeds: jnp.ndarray, uncond_embeds: jnp.ndarray,
+                          guidance_scale: float,
+                          added_cond: Optional[SdxlCond] = None,
+                          added_uncond: Optional[SdxlCond] = None,
+                          num_inner_steps: int = 10, epsilon: float = 1e-5
+                          ) -> jnp.ndarray:
+        """Per-timestep Adam on the uncond embeddings so CFG sampling follows
+        the inversion pivots (reference: _null_optimization, pipeline.py:124-219).
+        pivot_latents: (S+1, 1, h, w, 4) from reverse_sample. Returns
+        (S, L, D) optimized uncond embeddings.
+
+        Per the reference: outer step i uses pivot pair (x_cur from the top,
+        x_prev one below), lr = base_lr * (1 - i/100), inner early stop at
+        loss < epsilon + i * 2e-5.
+        """
+        s = self.sched.num_inference_steps
+        ts = self.sched.timesteps
+        base_lr = 1e-1 if self.is_xl else 1e-2
+        b1, b2, adam_eps = 0.9, 0.999, 1e-8
+
+        def prev_step(eps, t, lat):
+            return SCH.ddim_step(self.sched, eps, t, lat)
+
+        def inner_loss(uncond, lat_cur, t, eps_cond, lat_prev):
+            eps_u, _ = self._unet(params.unet, lat_cur, t, uncond, added_uncond)
+            eps = eps_u + guidance_scale * (eps_cond - eps_u)
+            rec = prev_step(eps, t, lat_cur)
+            return jnp.mean((rec - lat_prev) ** 2)
+
+        def outer_body(carry, i):
+            lat_cur, uncond = carry
+            t = ts[i]
+            lat_prev = pivot_latents[s - i - 1]
+            eps_cond, _ = self._unet(params.unet, lat_cur, t, cond_embeds, added_cond)
+            eps_cond = jax.lax.stop_gradient(eps_cond)
+            lr = base_lr * (1.0 - i.astype(jnp.float32) / 100.0)
+            thresh = epsilon + i.astype(jnp.float32) * 2e-5
+
+            grad_fn = jax.value_and_grad(inner_loss)
+
+            def cond_fn(state):
+                _, m, v, j, loss = state
+                return (j < num_inner_steps) & (loss >= thresh)
+
+            def body_fn(state):
+                u, m, v, j, _ = state
+                loss, g = grad_fn(u, lat_cur, t, eps_cond, lat_prev)
+                m = b1 * m + (1 - b1) * g
+                v = b2 * v + (1 - b2) * g * g
+                tt = (j + 1).astype(jnp.float32)
+                mh = m / -jnp.expm1(tt * jnp.log(b1))
+                vh = v / -jnp.expm1(tt * jnp.log(b2))
+                u = u - lr * mh / (jnp.sqrt(vh) + adam_eps)
+                return (u, m, v, j + 1, loss)
+
+            state = (uncond, jnp.zeros_like(uncond), jnp.zeros_like(uncond),
+                     jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf))
+            uncond_opt, *_ = jax.lax.while_loop(cond_fn, body_fn, state)
+
+            # Final CFG step with the optimized embeddings (reference :209-216).
+            pair = jnp.concatenate([lat_cur, lat_cur], axis=0)
+            embeds = jnp.concatenate([uncond_opt, cond_embeds], axis=0)
+            added = None
+            if self.is_xl and added_cond is not None:
+                added = SdxlCond(
+                    text_embeds=jnp.concatenate([added_uncond.text_embeds,
+                                                 added_cond.text_embeds], axis=0),
+                    time_ids=jnp.concatenate([added_uncond.time_ids,
+                                              added_cond.time_ids], axis=0))
+            eps_pair, _ = self._unet(params.unet, pair, t, embeds, added)
+            eps_u, eps_c = jnp.split(eps_pair, 2, axis=0)
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+            lat_next = prev_step(eps, t, lat_cur)
+            return (lat_next, uncond_opt), uncond_opt
+
+        lat0 = pivot_latents[-1]
+        (_, _), uncond_list = jax.lax.scan(outer_body, (lat0, uncond_embeds),
+                                           jnp.arange(s))
+        return uncond_list.squeeze(1) if uncond_list.ndim == 4 else uncond_list
+
+
+def rescale_noise_cfg(noise_cfg: jnp.ndarray, noise_pred_text: jnp.ndarray,
+                      guidance_rescale: float = 0.0) -> jnp.ndarray:
+    """Guidance rescale (reference: rescale_noise_cfg, pipeline.py:240-252;
+    arXiv:2305.08891 §3.4)."""
+    axes = tuple(range(1, noise_pred_text.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1 - guidance_rescale) * noise_cfg

@@ -1,0 +1,186 @@
+"""Diffusion schedulers as pure functions: DDIM (+inverse) and DPM-Solver++
+2M multistep (+inverse).
+
+The reference drives diffusers' stateful scheduler objects
+(`/root/reference/src/pipelines/InversionResamplingDiffusionPipeline.py:50-72`,
+DDIM/DPM + their inverse variants, re-initialized per run to avoid drift).
+Here a schedule is an immutable pytree of precomputed tables and each step is
+a pure function of (schedule, model_output, step_index, sample) — exactly what
+`lax.scan` wants. The NTO helper `prev_step` (pipeline.py:269-278) falls out
+of ddim_step.
+
+Conventions (diffusers-compatible, SD/SDXL configs): scaled_linear betas
+(beta_start 0.00085, beta_end 0.012, 1000 train steps), epsilon prediction,
+"leading" timestep spacing with steps_offset 1, set_alpha_to_one=False.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DiffusionSchedule(NamedTuple):
+    alphas_cumprod: jnp.ndarray     # (T,)
+    final_alpha_cumprod: jnp.ndarray
+    timesteps: jnp.ndarray          # (S,) int32, descending (sampling order)
+    num_train_timesteps: int
+    num_inference_steps: int
+
+
+def make_alphas_cumprod(num_train_timesteps: int = 1000, beta_start: float = 0.00085,
+                        beta_end: float = 0.012, schedule: str = "scaled_linear") -> np.ndarray:
+    if schedule == "scaled_linear":
+        betas = np.linspace(beta_start ** 0.5, beta_end ** 0.5,
+                            num_train_timesteps, dtype=np.float64) ** 2
+    elif schedule == "linear":
+        betas = np.linspace(beta_start, beta_end, num_train_timesteps, dtype=np.float64)
+    else:
+        raise ValueError(schedule)
+    return np.cumprod(1.0 - betas).astype(np.float32)
+
+
+def make_schedule(num_inference_steps: int, num_train_timesteps: int = 1000,
+                  beta_start: float = 0.00085, beta_end: float = 0.012,
+                  beta_schedule: str = "scaled_linear", steps_offset: int = 1,
+                  set_alpha_to_one: bool = False) -> DiffusionSchedule:
+    """'leading' spacing (the diffusers default for SD's DDIM config):
+    timesteps = round(arange(S) * T/S)[::-1] + offset."""
+    acp = make_alphas_cumprod(num_train_timesteps, beta_start, beta_end, beta_schedule)
+    step_ratio = num_train_timesteps // num_inference_steps
+    ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].astype(np.int64)
+    ts = ts + steps_offset
+    final = np.float32(1.0) if set_alpha_to_one else acp[0]
+    return DiffusionSchedule(
+        alphas_cumprod=jnp.asarray(acp),
+        final_alpha_cumprod=jnp.asarray(final),
+        timesteps=jnp.asarray(ts, jnp.int32),
+        num_train_timesteps=num_train_timesteps,
+        num_inference_steps=num_inference_steps,
+    )
+
+
+def inverse_timesteps(sched: DiffusionSchedule) -> jnp.ndarray:
+    """DDIMInverseScheduler spacing: ascending leading timesteps WITHOUT the
+    offset (diffusers rounds arange(S)*T/S)."""
+    step_ratio = sched.num_train_timesteps // sched.num_inference_steps
+    ts = (np.arange(0, sched.num_inference_steps) * step_ratio).round().astype(np.int64)
+    return jnp.asarray(ts, jnp.int32)
+
+
+def _alpha_at(sched: DiffusionSchedule, t: jnp.ndarray, fallback: jnp.ndarray) -> jnp.ndarray:
+    """alphas_cumprod[t] with t possibly out of range -> fallback."""
+    safe_t = jnp.clip(t, 0, sched.num_train_timesteps - 1)
+    a = sched.alphas_cumprod[safe_t]
+    return jnp.where(t >= 0, a, fallback)
+
+
+def pred_original(sample: jnp.ndarray, eps: jnp.ndarray, alpha_prod: jnp.ndarray) -> jnp.ndarray:
+    """x0 = (x_t - sqrt(1-a) eps) / sqrt(a) (epsilon prediction)."""
+    return (sample - jnp.sqrt(1.0 - alpha_prod) * eps) / jnp.sqrt(alpha_prod)
+
+
+# ---------------------------------------------------------------------------
+# DDIM
+# ---------------------------------------------------------------------------
+
+
+def ddim_step(sched: DiffusionSchedule, eps: jnp.ndarray, timestep: jnp.ndarray,
+              sample: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic DDIM x_t -> x_{t-dt} (eta=0), matching the reference's
+    explicit prev_step (InversionResamplingDiffusionPipeline.py:269-278)."""
+    dt = sched.num_train_timesteps // sched.num_inference_steps
+    prev_t = timestep - dt
+    a_t = _alpha_at(sched, timestep, sched.final_alpha_cumprod)
+    a_prev = _alpha_at(sched, prev_t, sched.final_alpha_cumprod)
+    x0 = pred_original(sample, eps, a_t)
+    direction = jnp.sqrt(1.0 - a_prev) * eps
+    return jnp.sqrt(a_prev) * x0 + direction
+
+
+def ddim_inverse_step(sched: DiffusionSchedule, eps: jnp.ndarray, timestep: jnp.ndarray,
+                      sample: jnp.ndarray) -> jnp.ndarray:
+    """DDIM inversion x_{t-dt} -> x_t (diffusers DDIMInverseScheduler.step:
+    at position `timestep` in the ascending pass, the transition is from
+    t_inner = timestep - dt to timestep)."""
+    dt = sched.num_train_timesteps // sched.num_inference_steps
+    t_inner = timestep - dt
+    a_s = _alpha_at(sched, t_inner, sched.alphas_cumprod[0])
+    a_t = _alpha_at(sched, timestep, sched.final_alpha_cumprod)
+    x0 = pred_original(sample, eps, a_s)
+    return jnp.sqrt(a_t) * x0 + jnp.sqrt(1.0 - a_t) * eps
+
+
+def add_noise(sched: DiffusionSchedule, sample: jnp.ndarray, noise: jnp.ndarray,
+              timesteps: jnp.ndarray) -> jnp.ndarray:
+    """scheduler.add_noise (used by midu training, train_guidance_clf.py:336-362)."""
+    a = sched.alphas_cumprod[timesteps]
+    a = a.reshape(a.shape + (1,) * (sample.ndim - a.ndim))
+    return jnp.sqrt(a) * sample + jnp.sqrt(1.0 - a) * noise
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver++ (2M, multistep, deterministic)
+# ---------------------------------------------------------------------------
+
+
+class DpmState(NamedTuple):
+    """Carry for the multistep solver: previous x0 prediction and step index
+    validity flag (first step falls back to first order)."""
+
+    prev_x0: jnp.ndarray
+    prev_lambda: jnp.ndarray
+    has_prev: jnp.ndarray  # bool
+
+
+def dpm_init_state(shape, dtype=jnp.float32) -> DpmState:
+    return DpmState(prev_x0=jnp.zeros(shape, dtype),
+                    prev_lambda=jnp.zeros((), dtype),
+                    has_prev=jnp.asarray(False))
+
+
+def _lambda_sigma_alpha(sched: DiffusionSchedule, t: jnp.ndarray, fallback: jnp.ndarray):
+    a_prod = _alpha_at(sched, t, fallback)
+    alpha = jnp.sqrt(a_prod)
+    sigma = jnp.sqrt(1.0 - a_prod)
+    lam = jnp.log(alpha) - jnp.log(jnp.maximum(sigma, 1e-10))
+    return lam, sigma, alpha
+
+
+def dpm_step(sched: DiffusionSchedule, eps: jnp.ndarray, timestep: jnp.ndarray,
+             next_timestep: jnp.ndarray, sample: jnp.ndarray,
+             state: DpmState) -> Tuple[jnp.ndarray, DpmState]:
+    """One DPM++ 2M transition from `timestep` to `next_timestep` (either
+    direction: descending = sampling, ascending = inversion)."""
+    lam_s, sig_s, _ = _lambda_sigma_alpha(sched, timestep, sched.final_alpha_cumprod)
+    lam_t, sig_t, alp_t = _lambda_sigma_alpha(sched, next_timestep, sched.final_alpha_cumprod)
+    a_s = _alpha_at(sched, timestep, sched.final_alpha_cumprod)
+    x0 = pred_original(sample, eps, a_s)
+
+    h = lam_t - lam_s
+    # Second-order correction using the previous x0 (2M multistep).
+    r = (lam_s - state.prev_lambda) / jnp.where(h == 0, 1.0, h)
+    r = jnp.where(jnp.abs(r) < 1e-8, 1.0, r)
+    d_second = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * state.prev_x0
+    d = jnp.where(state.has_prev, d_second, x0)
+
+    x_next = (sig_t / jnp.maximum(sig_s, 1e-10)) * sample - alp_t * jnp.expm1(-h) * d
+    new_state = DpmState(prev_x0=x0, prev_lambda=lam_s, has_prev=jnp.asarray(True))
+    return x_next, new_state
+
+
+# ---------------------------------------------------------------------------
+# Guidance-scaling helper (Dhariwal-style; reference diff_utils.py:133-181,
+# unused in the main path but part of the API surface)
+# ---------------------------------------------------------------------------
+
+
+def scheduler_guidance_scaling(sched: DiffusionSchedule, timestep: jnp.ndarray,
+                               base_scale: float) -> jnp.ndarray:
+    """Scale classifier guidance by sqrt(1 - alphas_cumprod[t]) (the variance
+    of the noise at t), as in Dhariwal & Nichol's classifier guidance."""
+    a = _alpha_at(sched, timestep, sched.final_alpha_cumprod)
+    return base_scale * jnp.sqrt(1.0 - a)

@@ -1,0 +1,182 @@
+"""VAE (AutoencoderKL) for the SD family, Flax NHWC.
+
+The reference uses diffusers' torch VAE for image<->latent transport
+(`get_latents_from_img`, `InversionResamplingStableDiffusionPipeline.py:147-150`;
+decode at `diff_utils.py:109-119`) with fp32 upcast for SDXL fp16
+(`...XLPipeline.py:194-216`). Scaling factors: 0.18215 (SD), 0.13025 (SDXL).
+
+Encoding in the reference SAMPLES the latent posterior (`.sample()`,
+`...StableDiffusionPipeline.py:149`); we expose both `mode` (deterministic,
+the default here — reproducible edits) and `sample` with an explicit PRNG key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rgie_tpu.diffusion.unet import GroupNorm32
+
+SD_SCALING = 0.18215
+SDXL_SCALING = 0.13025
+
+
+@dataclasses.dataclass(frozen=True)
+class VaeConfig:
+    in_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = SD_SCALING
+
+    @staticmethod
+    def sd() -> "VaeConfig":
+        return VaeConfig()
+
+    @staticmethod
+    def sdxl() -> "VaeConfig":
+        return VaeConfig(scaling_factor=SDXL_SCALING)
+
+    @staticmethod
+    def tiny() -> "VaeConfig":
+        return VaeConfig(block_out_channels=(8, 16), layers_per_block=1,
+                         norm_num_groups=4)
+
+
+class VaeResnetBlock(nn.Module):
+    out_channels: int
+    groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = GroupNorm32(self.groups, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv1")(h)
+        h = GroupNorm32(self.groups, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class VaeAttention(nn.Module):
+    groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        y = GroupNorm32(self.groups, name="norm")(x).reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
+        attn = jax.nn.softmax(jnp.einsum("bnc,bmc->bnm", q, k) / jnp.sqrt(c), axis=-1)
+        y = jnp.einsum("bnm,bmc->bnc", attn, v)
+        y = nn.Dense(c, dtype=self.dtype, name="to_out")(y)
+        return x + y.reshape(b, h, w, c)
+
+
+class Encoder(nn.Module):
+    cfg: VaeConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv_in")(x)
+        for bi, ch in enumerate(cfg.block_out_channels):
+            for li in range(cfg.layers_per_block):
+                x = VaeResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype,
+                                   name=f"down_{bi}_res_{li}")(x)
+            if bi < len(cfg.block_out_channels) - 1:
+                # diffusers VAE downsample: pad (0,1) asymmetric then stride 2.
+                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name=f"down_{bi}_downsample")(x)
+        ch = cfg.block_out_channels[-1]
+        x = VaeResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype, name="mid_res_0")(x)
+        x = VaeAttention(cfg.norm_num_groups, dtype=self.dtype, name="mid_attn")(x)
+        x = VaeResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype, name="mid_res_1")(x)
+        x = GroupNorm32(cfg.norm_num_groups, name="norm_out")(x)
+        x = nn.silu(x)
+        x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv_out")(x)
+        return nn.Conv(2 * cfg.latent_channels, (1, 1), dtype=self.dtype,
+                       name="quant_conv")(x)
+
+
+class Decoder(nn.Module):
+    cfg: VaeConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        cfg = self.cfg
+        z = nn.Conv(cfg.latent_channels, (1, 1), dtype=self.dtype,
+                    name="post_quant_conv")(z)
+        ch = cfg.block_out_channels[-1]
+        x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv_in")(z)
+        x = VaeResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype, name="mid_res_0")(x)
+        x = VaeAttention(cfg.norm_num_groups, dtype=self.dtype, name="mid_attn")(x)
+        x = VaeResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype, name="mid_res_1")(x)
+        for bi, ch in enumerate(reversed(cfg.block_out_channels)):
+            for li in range(cfg.layers_per_block + 1):
+                x = VaeResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype,
+                                   name=f"up_{bi}_res_{li}")(x)
+            if bi < len(cfg.block_out_channels) - 1:
+                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+                x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                            name=f"up_{bi}_upsample")(x)
+        x = GroupNorm32(cfg.norm_num_groups, name="norm_out")(x)
+        x = nn.silu(x)
+        return nn.Conv(cfg.in_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=jnp.float32, name="conv_out")(x)
+
+
+class AutoencoderKL(nn.Module):
+    cfg: VaeConfig = VaeConfig()
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg, self.dtype)
+        self.decoder = Decoder(self.cfg, self.dtype)
+
+    def encode_moments(self, images):
+        """(B, H, W, 3) in [-1, 1] -> (mean, logvar) of the latent posterior."""
+        moments = self.encoder(images)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def encode(self, images, key: Optional[jax.Array] = None):
+        """Scaled latents; deterministic mode unless a key is given."""
+        mean, logvar = self.encode_moments(images)
+        if key is not None:
+            mean = mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape, mean.dtype)
+        return self.cfg.scaling_factor * mean
+
+    def decode(self, latents):
+        """Scaled latents -> images in [-1, 1] (fp32 output — the analog of the
+        reference's SDXL fp32 VAE upcast, ...XLPipeline.py:194-216)."""
+        return self.decoder(latents / self.cfg.scaling_factor)
+
+    def __call__(self, images, key: Optional[jax.Array] = None):
+        return self.decode(self.encode(images, key))
+
+
+def create_vae(key, cfg: VaeConfig = VaeConfig.tiny(), image_hw: int = 32,
+               dtype=jnp.float32):
+    model = AutoencoderKL(cfg, dtype)
+    variables = model.init(key, jnp.zeros((1, image_hw, image_hw, cfg.in_channels), dtype))
+    return model, variables

@@ -1,0 +1,62 @@
+"""Pixel-space valence/arousal regressor: frozen ResNet-50 + ten-crop wrapper.
+
+Reference: `/root/reference/src/baselines/models/EmotionPredictionModel.py:10-54`
+builds nn.Sequential(Resize(480), ReplicateAndCrop(448) x10, resnet50(4),
+MeanReplicatedCrops, Sigmoid). Here the same pipeline is a pure function whose
+forward AND backward compile into the edit program. The ten crops are a
+deterministic grid by default (documented deviation from the reference's
+RandomCrop-in-the-loss-path — see rgie_tpu.ops.geometry.ten_crop_offsets);
+pass ``key`` for stochastic parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rgie_tpu.models.resnet import resnet50
+from rgie_tpu.ops import geometry as G
+
+
+@dataclasses.dataclass(frozen=True)
+class EmotionRegressor:
+    """Frozen VA regressor pipeline. Images NHWC in [0,1] (normalize=True) or
+    [-1,1] (normalize=False, the GAN path — optimize_image_imaginaire.py:57-58)."""
+
+    variables: Any
+    num_classes: int = 4
+    input_size: int = 480
+    crop_size: int = 448
+    normalize: bool = True           # map [0,1] -> [-1,1] before the net
+    num_replications: int = 10
+    use_sigmoid: bool = True         # 'va_pred_all' checkpoints end in Sigmoid
+    dtype: Any = jnp.float32
+
+    def __call__(self, images: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """(B, H, W, 3) -> (B, num_classes) mean prediction over crops."""
+        model = resnet50(self.num_classes, self.dtype)
+        x = G.resize_shorter_side(images.astype(self.dtype), self.input_size, antialias=True)
+        x = G.replicate_and_crop(x, self.crop_size, self.num_replications, key=key)
+        if self.normalize:
+            x = (x - 0.5) / 0.5
+        out = model.apply(self.variables, x, train=False)
+        out = G.mean_replicated(out, self.num_replications)
+        if self.use_sigmoid:
+            out = jax.nn.sigmoid(out)
+        return out
+
+
+def create_regressor(key: jax.Array, num_classes: int = 4, normalize: bool = True,
+                     input_size: int = 480, crop_size: int = 448,
+                     use_sigmoid: bool = True, dtype=jnp.float32) -> EmotionRegressor:
+    """Random-weight regressor (stand-in for the external `va_pred_all`
+    checkpoint, which lives outside the reference repo — SURVEY.md App. A).
+    Real checkpoints load via rgie_tpu.utils.torch_convert."""
+    model = resnet50(num_classes, dtype)
+    variables = model.init(key, jnp.zeros((1, crop_size, crop_size, 3), dtype))
+    return EmotionRegressor(variables=variables, num_classes=num_classes,
+                            normalize=normalize, input_size=input_size,
+                            crop_size=crop_size, use_sigmoid=use_sigmoid, dtype=dtype)

@@ -1,0 +1,102 @@
+"""Flax ResNet-50 (NHWC), the backbone of the pixel-space valence/arousal
+regressor (reference: torchvision resnet50 at
+`/root/reference/src/baselines/models/EmotionPredictionModel.py:24-27`).
+
+Architecture matches torchvision exactly (bottleneck v1, downsample on conv2?
+no — torchvision places stride on the 3x3 conv, i.e. ResNet v1.5) so that
+torch checkpoints convert 1:1 (see rgie_tpu.utils.torch_convert). The frozen
+regressor runs with `use_running_average=True`; the training-side variant
+(reference: initialize_model, EmotionPredictionModel.py:57-72) updates batch
+stats.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+ModuleDef = Any
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (expansion 4, stride on the 3x3 conv — v1.5)."""
+
+    features: int
+    strides: int = 1
+    downsample: bool = False
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = self.conv(self.features, (3, 3), strides=(self.strides, self.strides),
+                      padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = self.conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+        if self.downsample:
+            residual = self.conv(self.features * 4, (1, 1),
+                                 strides=(self.strides, self.strides),
+                                 use_bias=False, name="downsample_conv")(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+def max_pool_same_as_torch(x: jnp.ndarray) -> jnp.ndarray:
+    """torch MaxPool2d(kernel=3, stride=2, padding=1) on NHWC."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+class ResNet(nn.Module):
+    """torchvision-compatible ResNet. stage_sizes=[3,4,6,3] => ResNet-50."""
+
+    stage_sizes: Sequence[int]
+    num_classes: int
+    num_filters: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, dtype=self.dtype)
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+
+        x = conv(self.num_filters, (7, 7), strides=(2, 2),
+                 padding=((3, 3), (3, 3)), use_bias=False, name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = max_pool_same_as_torch(x)
+
+        for i, block_count in enumerate(self.stage_sizes):
+            features = self.num_filters * 2 ** i
+            for j in range(block_count):
+                strides = 2 if (i > 0 and j == 0) else 1
+                x = Bottleneck(features=features, strides=strides,
+                               downsample=(j == 0), conv=conv, norm=norm,
+                               name=f"layer{i + 1}_{j}")(x)
+
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        x = nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
+        return x
+
+
+def resnet50(num_classes: int, dtype=jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), num_classes=num_classes, dtype=dtype)
+
+
+def init_resnet50(key, num_classes: int, input_size: int = 224, dtype=jnp.float32):
+    model = resnet50(num_classes, dtype)
+    variables = model.init(key, jnp.zeros((1, input_size, input_size, 3), dtype))
+    return model, variables

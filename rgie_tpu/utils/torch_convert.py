@@ -1,0 +1,315 @@
+"""PyTorch checkpoint -> Flax parameter conversion.
+
+The reference's model artifacts all live outside its repo (SURVEY.md App. A):
+`va_pred_all` (torchvision ResNet-50 VA regressor), the midu CNNs, OpenAI
+CLIP ViT-B/32, and the imaginaire MUNIT generator (`.pt` with spectral weight
+norm). This module converts their torch ``state_dict``s (loaded as numpy via
+torch-cpu) into the parameter trees of our Flax modules.
+
+Conventions: torch conv OIHW -> flax HWIO; torch linear (out, in) -> flax
+(in, out); BatchNorm running stats -> flax batch_stats; spectral norm is
+*realized* (W / sigma from the stored power-iteration vector u) so the TPU
+forward graph is plain convs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor (or array) -> float32 numpy."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def conv_kernel(t) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return _np(t).transpose(2, 3, 1, 0)
+
+
+def dense_kernel(t) -> np.ndarray:
+    """(out, in) -> (in, out)."""
+    return _np(t).T
+
+
+def realize_spectral_norm(weight_orig, u) -> np.ndarray:
+    """Fold torch spectral_norm into the kernel: W / sigma, sigma = u^T W v
+    with one power-iteration step v = normalize(W^T u) — exactly what
+    torch.nn.utils.spectral_norm computes at eval
+    (reference MUNIT config uses weight_norm_type 'spectral', yaml:66)."""
+    w = _np(weight_orig)
+    u = _np(u).reshape(-1)
+    w_mat = w.reshape(w.shape[0], -1)
+    v = w_mat.T @ u
+    v = v / (np.linalg.norm(v) + 1e-12)
+    sigma = float(u @ (w_mat @ v))
+    return w / sigma
+
+
+# ---------------------------------------------------------------------------
+# ResNet-50 (torchvision naming -> rgie_tpu.models.resnet tree)
+# ---------------------------------------------------------------------------
+
+
+def convert_resnet50(state_dict: Mapping[str, Any],
+                     stage_sizes=(3, 4, 6, 3)) -> Dict[str, Any]:
+    """torchvision resnet50 state_dict -> {'params': ..., 'batch_stats': ...}.
+
+    Accepts both bare backbone dicts and dicts with an ``fc`` head of any
+    width (the VA regressor replaces fc with 4 outputs,
+    EmotionPredictionModel.py:25-26).
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn(dst_p, dst_s, prefix):
+        dst_p["scale"] = _np(sd[f"{prefix}.weight"])
+        dst_p["bias"] = _np(sd[f"{prefix}.bias"])
+        dst_s["mean"] = _np(sd[f"{prefix}.running_mean"])
+        dst_s["var"] = _np(sd[f"{prefix}.running_var"])
+
+    params["conv1"] = {"kernel": conv_kernel(sd["conv1.weight"])}
+    params["bn1"], stats["bn1"] = {}, {}
+    bn(params["bn1"], stats["bn1"], "bn1")
+
+    for i, blocks in enumerate(stage_sizes):
+        for j in range(blocks):
+            src = f"layer{i + 1}.{j}"
+            dst = f"layer{i + 1}_{j}"
+            p: Dict[str, Any] = {}
+            s: Dict[str, Any] = {}
+            for k in (1, 2, 3):
+                p[f"conv{k}"] = {"kernel": conv_kernel(sd[f"{src}.conv{k}.weight"])}
+                p[f"bn{k}"], s[f"bn{k}"] = {}, {}
+                bn(p[f"bn{k}"], s[f"bn{k}"], f"{src}.bn{k}")
+            if f"{src}.downsample.0.weight" in sd:
+                p["downsample_conv"] = {"kernel": conv_kernel(sd[f"{src}.downsample.0.weight"])}
+                p["downsample_bn"], s["downsample_bn"] = {}, {}
+                bn(p["downsample_bn"], s["downsample_bn"], f"{src}.downsample.1")
+            params[dst] = p
+            stats[dst] = s
+
+    if "fc.weight" in sd:
+        params["fc"] = {"kernel": dense_kernel(sd["fc.weight"]),
+                        "bias": _np(sd["fc.bias"])}
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# OpenAI CLIP visual tower (clip ViT-B/32 naming -> rgie_tpu.models.clip)
+# ---------------------------------------------------------------------------
+
+
+def convert_clip_visual(state_dict: Mapping[str, Any], layers: int = 12,
+                        heads: int = 12, width: int = 768) -> Dict[str, Any]:
+    """OpenAI CLIP ``visual.*`` weights -> VisionTransformer params."""
+    sd = {k[len("visual."):] if k.startswith("visual.") else k: v
+          for k, v in state_dict.items()}
+    p: Dict[str, Any] = {
+        "conv1": {"kernel": conv_kernel(sd["conv1.weight"])},
+        "class_embedding": _np(sd["class_embedding"]),
+        "positional_embedding": _np(sd["positional_embedding"]),
+        "ln_pre": {"scale": _np(sd["ln_pre.weight"]), "bias": _np(sd["ln_pre.bias"])},
+        "ln_post": {"scale": _np(sd["ln_post.weight"]), "bias": _np(sd["ln_post.bias"])},
+        "proj": _np(sd["proj"]),
+    }
+    head_dim = width // heads
+    for i in range(layers):
+        src = f"transformer.resblocks.{i}"
+        in_w = _np(sd[f"{src}.attn.in_proj_weight"])   # (3*width, width)
+        in_b = _np(sd[f"{src}.attn.in_proj_bias"])
+        qw, kw, vw = np.split(in_w, 3, axis=0)
+        qb, kb, vb = np.split(in_b, 3, axis=0)
+
+        def heads_kernel(w):
+            # torch (width_out, width_in) -> flax MHA (in, heads, head_dim)
+            return w.T.reshape(width, heads, head_dim)
+
+        out_w = _np(sd[f"{src}.attn.out_proj.weight"])  # (width, width)
+        p[f"resblock_{i}"] = {
+            "ln_1": {"scale": _np(sd[f"{src}.ln_1.weight"]), "bias": _np(sd[f"{src}.ln_1.bias"])},
+            "ln_2": {"scale": _np(sd[f"{src}.ln_2.weight"]), "bias": _np(sd[f"{src}.ln_2.bias"])},
+            "attn": {
+                "query": {"kernel": heads_kernel(qw), "bias": qb.reshape(heads, head_dim)},
+                "key": {"kernel": heads_kernel(kw), "bias": kb.reshape(heads, head_dim)},
+                "value": {"kernel": heads_kernel(vw), "bias": vb.reshape(heads, head_dim)},
+                "out": {"kernel": out_w.T.reshape(heads, head_dim, width),
+                        "bias": _np(sd[f"{src}.attn.out_proj.bias"])},
+            },
+            "mlp": {
+                "c_fc": {"kernel": dense_kernel(sd[f"{src}.mlp.c_fc.weight"]),
+                         "bias": _np(sd[f"{src}.mlp.c_fc.bias"])},
+                "c_proj": {"kernel": dense_kernel(sd[f"{src}.mlp.c_proj.weight"]),
+                           "bias": _np(sd[f"{src}.mlp.c_proj.bias"])},
+            },
+        }
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# MUNIT autoencoder (imaginaire naming -> rgie_tpu.models.munit tree)
+# ---------------------------------------------------------------------------
+
+
+def _imag_conv(sd, prefix) -> Dict[str, Any]:
+    """One imaginaire conv layer (possibly spectral-normed) -> flax conv dict."""
+    if f"{prefix}.weight_orig" in sd:
+        w = realize_spectral_norm(sd[f"{prefix}.weight_orig"], sd[f"{prefix}.weight_u"])
+    else:
+        w = _np(sd[f"{prefix}.weight"])
+    out = {"kernel": w.transpose(2, 3, 1, 0) if w.ndim == 4 else w.T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _imag_linear(sd, prefix) -> Dict[str, Any]:
+    if f"{prefix}.weight_orig" in sd:
+        w = realize_spectral_norm(sd[f"{prefix}.weight_orig"], sd[f"{prefix}.weight_u"])
+    else:
+        w = _np(sd[f"{prefix}.weight"])
+    out = {"kernel": w.T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _imag_instance_norm(sd, prefix) -> Dict[str, Any]:
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def convert_munit_autoencoder(state_dict: Mapping[str, Any], domain: str = "a",
+                              num_downsamples_content: int = 3,
+                              num_downsamples_style: int = 4,
+                              num_res_blocks: int = 4,
+                              num_mlp_blocks: int = 2) -> Dict[str, Any]:
+    """imaginaire `net_G` state_dict (one domain) -> AutoEncoder params.
+
+    imaginaire module paths (munit.py:215-252 + layers/*):
+      autoencoder_a.style_encoder.model.{k}.layers.conv.*        (Conv2dBlock)
+      autoencoder_a.style_encoder.model.{last}.*                 (plain 1x1 conv)
+      autoencoder_a.content_encoder.model.{k}.layers.{conv,norm}.*
+      autoencoder_a.content_encoder.model.{k}.conv_block_{0,1}.layers.*   (ResBlock)
+      autoencoder_a.decoder.decoder.{k}...                       (ModuleList)
+      autoencoder_a.mlp.model.{k}.layers.conv.*                  (LinearBlock)
+    AdaIN projections live at ...layers.norm.fc.layers.conv.* (AdaptiveNorm ->
+    LinearBlock named 'fc', activation_norm.py:85-88).
+    """
+    ae = f"autoencoder_{domain}"
+    sd = {k[len(ae) + 1:]: v for k, v in state_dict.items() if k.startswith(ae + ".")}
+    p: Dict[str, Any] = {}
+
+    # --- style encoder: Conv2dBlocks 0..(num_downsamples_style), then
+    # AdaptiveAvgPool (no params) at index n+1, then plain Conv2d at n+2.
+    se: Dict[str, Any] = {}
+    n_style_convs = 1 + num_downsamples_style
+    for i in range(n_style_convs):
+        se[f"layer_{i}"] = {"conv": _imag_conv(sd, f"style_encoder.model.{i}.layers.conv")}
+    last = n_style_convs + 1
+    fc = _imag_conv(sd, f"style_encoder.model.{last}")
+    se["fc"] = {"kernel": fc["kernel"][0, 0], "bias": fc.get("bias")}  # 1x1 conv -> dense
+    p["style_encoder"] = se
+
+    # --- content encoder
+    ce: Dict[str, Any] = {}
+    n_ce_convs = 1 + num_downsamples_content
+    for i in range(n_ce_convs):
+        block = {"conv": _imag_conv(sd, f"content_encoder.model.{i}.layers.conv")}
+        if f"content_encoder.model.{i}.layers.norm.weight" in sd:
+            block["norm"] = _imag_instance_norm(sd, f"content_encoder.model.{i}.layers.norm")
+        ce[f"layer_{i}"] = block
+    for r in range(num_res_blocks):
+        idx = n_ce_convs + r
+        res: Dict[str, Any] = {}
+        for b in (0, 1):
+            cb = {"conv": _imag_conv(sd, f"content_encoder.model.{idx}.conv_block_{b}.layers.conv")}
+            np_prefix = f"content_encoder.model.{idx}.conv_block_{b}.layers.norm"
+            if f"{np_prefix}.weight" in sd:
+                cb["norm"] = _imag_instance_norm(sd, np_prefix)
+            res[f"conv_block_{b}"] = cb
+        ce[f"res_{r}"] = res
+    p["content_encoder"] = ce
+
+    # --- decoder: ModuleList = res blocks, then (Upsample, Conv2dBlock) pairs,
+    # then the output Conv2dBlock. Upsample has no params, so param indices:
+    # res 0..R-1; up conv k at index R + 2k + 1; out at R + 2*num_up + 1.
+    de: Dict[str, Any] = {}
+
+    def adain(prefix) -> Dict[str, Any]:
+        return {"fc": _imag_linear(sd, f"{prefix}.fc.layers.conv")}
+
+    for r in range(num_res_blocks):
+        res = {}
+        for b in (0, 1):
+            base = f"decoder.decoder.{r}.conv_block_{b}.layers"
+            res[f"conv_block_{b}"] = {
+                "conv": _imag_conv(sd, f"{base}.conv"),
+                "norm": adain(f"{base}.norm"),
+            }
+        de[f"res_{r}"] = res
+    for k in range(num_downsamples_content):
+        idx = num_res_blocks + 2 * k + 1
+        base = f"decoder.decoder.{idx}.layers"
+        de[f"up_{k}"] = {"conv": _imag_conv(sd, f"{base}.conv"),
+                         "norm": adain(f"{base}.norm")}
+    out_idx = num_res_blocks + 2 * num_downsamples_content + 1
+    de["out"] = {"conv": _imag_conv(sd, f"decoder.decoder.{out_idx}.layers.conv")}
+    p["decoder"] = de
+
+    # --- MLP: LinearBlocks at model.{0..num_mlp_blocks}
+    mlp: Dict[str, Any] = {}
+    for i in range(num_mlp_blocks):
+        mlp[f"linear_{i}"] = _imag_linear(sd, f"mlp.model.{i}.layers.conv")
+    p["mlp"] = mlp
+
+    return {"params": p}
+
+
+def filter_imaginaire_states(state_dict: Mapping[str, Any],
+                             use_averaged_model: bool = False) -> Dict[str, Any]:
+    """Strip 'module.' prefixes and (non-)averaged-model keys
+    (reference: get_relevant_states, optimize_image_imaginaire.py:148-159)."""
+    if use_averaged_model:
+        out = {k.replace("module.", ""): v for k, v in state_dict.items()
+               if "averaged_model" in k}
+        out = {k.replace("averaged_model.", ""): v for k, v in out.items()}
+    else:
+        out = {k.replace("module.", ""): v for k, v in state_dict.items()
+               if "averaged_model" not in k}
+    out.pop("num_updates_tracked", None)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Midu guidance CNNs (nn.Sequential naming -> rgie_tpu.models.midu)
+# ---------------------------------------------------------------------------
+
+
+def convert_midu(state_dict: Mapping[str, Any], is_sdxl: bool = False) -> Dict[str, Any]:
+    """Sequential index naming (MiduClassifier.py:122-161) -> flax midu params.
+    SDXL: convs at 0,3,6,9, linears at 13,15. SD: convs at 0,3, linears at 7,9."""
+    conv_ixs = (0, 3, 6, 9) if is_sdxl else (0, 3)
+    lin_ixs = (13, 15) if is_sdxl else (7, 9)
+    p: Dict[str, Any] = {}
+    for n, i in enumerate(conv_ixs):
+        p[f"conv_{n}"] = {"kernel": conv_kernel(state_dict[f"{i}.weight"]),
+                          "bias": _np(state_dict[f"{i}.bias"])}
+    for n, i in enumerate(lin_ixs):
+        p[f"dense_{n}"] = {"kernel": dense_kernel(state_dict[f"{i}.weight"]),
+                           "bias": _np(state_dict[f"{i}.bias"])}
+    return {"params": p}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Any]:
+    """Load a torch checkpoint file into a flat numpy state dict (torch-cpu)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: _np(v) for k, v in obj.items() if hasattr(v, "shape")}

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Parametric pixel-space editing CLI — the TPU-native analog of the reference
+entry point `/root/reference/src/optimize_image_param.py` (flags replace its
+hand-edited constant block at :30-59).
+
+Per adaptation alpha, every image's 300-step Adam edit runs as ONE fused XLA
+program, vmapped over `--batch` images and sharded across all chips.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rgie_tpu.utils.jaxcache import enable_persistent_cache
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data-dir", default=None, help="dataset root (captions.json feed)")
+    ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--va-model", default=None, help="torch va_pred_all checkpoint (converted on load)")
+    ap.add_argument("--num-steps", type=int, default=300)
+    ap.add_argument("--learning-rate", type=float, default=0.05)
+    ap.add_argument("--weight-clf", type=float, default=0.15)
+    ap.add_argument("--weight-recon", type=float, default=1.0)
+    ap.add_argument("--input-size", type=int, default=480)
+    ap.add_argument("--crop-size", type=int, default=480)
+    ap.add_argument("--batch", type=int, default=None, help="images per device program (default: #chips)")
+    ap.add_argument("--limit", type=int, default=500, help="dataset cap (reference: optimize_image.py:25)")
+    ap.add_argument("--adaptations", default="pos_01:0.1,pos_02:0.2,neg_01:-0.1,neg_02:-0.1,neutral:0.0")
+    ap.add_argument("--gradient-free", action="store_true", help="Nelder-Mead instead of Adam")
+    ap.add_argument("--save-orig", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rgie_tpu.config import DATA_DIR, OUT_DIR, MODELS_DIR, OptimizeConfig, ParamEditConfig
+    from rgie_tpu.data import CaptionFeedDataset, iterate_batches
+    from rgie_tpu.engine import parametric as P
+    from rgie_tpu.engine.optimize import optimize_gradient_free
+    from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
+    from rgie_tpu.models.clip import create_clip_image_encoder
+    from rgie_tpu.models.emotion import EmotionRegressor, create_regressor
+    from rgie_tpu.ops import chain as CH
+    from rgie_tpu.parallel import create_mesh, shard_batch, pad_to_multiple
+    from rgie_tpu.utils import stats as S
+
+    data_dir = args.data_dir or str(DATA_DIR)
+    out_dir = args.out_dir or str(OUT_DIR / f"optimized_param_{args.weight_clf:<1.2f}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2 = jax.random.split(key)
+
+    va_path = args.va_model or str(MODELS_DIR / "va_pred_all")
+    if os.path.exists(va_path):
+        from rgie_tpu.models.resnet import resnet50
+        from rgie_tpu.utils.torch_convert import convert_resnet50, load_torch_state_dict
+
+        variables = convert_resnet50(load_torch_state_dict(va_path))
+        variables = jax.tree.map(jnp.asarray, variables)
+        regressor = EmotionRegressor(variables=variables)
+        print(f"loaded VA regressor from {va_path}")
+    else:
+        regressor = create_regressor(k1)
+        print(f"WARNING: {va_path} not found; using random-weight regressor stand-in")
+
+    va_loss = ValenceArousalLoss(regressor=regressor)
+    clip_enc = create_clip_image_encoder(k2) if args.weight_recon > 0 else None
+
+    cfg = ParamEditConfig(
+        optimize=OptimizeConfig(num_steps=args.num_steps, learning_rate=args.learning_rate),
+        weight_clf=args.weight_clf, weight_recon=args.weight_recon,
+        input_size=args.input_size, crop_size=args.crop_size)
+
+    mesh = create_mesh()
+    n_chips = mesh.devices.size
+    batch = args.batch or n_chips
+    edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg))
+    models = P.models_of(va_loss, clip_enc)
+    evaluate = jax.jit(jax.vmap(
+        lambda m, i, e: P.make_evaluate(va_loss)(m, i[None], e[None]),
+        in_axes=(None, 0, 0)))
+
+    adaptations = []
+    for spec in args.adaptations.split(","):
+        name, alpha = spec.split(":")
+        adaptations.append((name, float(alpha)))
+
+    dataset = CaptionFeedDataset(data_dir)
+    stats = {}
+    from PIL import Image
+
+    for images_np, metas in iterate_batches(dataset, batch, args.input_size,
+                                            args.crop_size, limit=args.limit):
+        images_np, n_real = pad_to_multiple(images_np, batch)
+        images = shard_batch(jnp.asarray(images_np), mesh)
+        for name, alpha in adaptations:
+            S.check_init_stats_adapt(stats, name)
+            alphas = jnp.full((images.shape[0], 2), alpha)
+            t0 = time.time()
+            result, edited = jax.block_until_ready(edit(models, images, alphas))
+            dt = time.time() - t0
+            metrics = evaluate(models, images, edited)
+            for b, meta in enumerate(metas[:n_real]):
+                va0 = np.asarray(metrics["va_original"][b])
+                va1 = np.asarray(metrics["va_adapted"][b])
+                S.print_score(va1, f"{meta[0]} {name}", va0)
+                S.record_edit(stats[name], va0, va1, float(metrics["rec_error"][b]))
+                img_out = np.clip(np.asarray(edited[b]) * 255, 0, 255).astype(np.uint8)
+                base = meta[0].replace(".jpg", "")
+                Image.fromarray(img_out).save(os.path.join(out_dir, f"{base}_{name}.jpg"))
+            print(f"[{name}] batch of {n_real} edited in {dt:.2f}s "
+                  f"({n_real / dt:.3f} img/s)")
+
+    print(f"weight_clf: {args.weight_clf}; weight_recon: {args.weight_recon}")
+    S.print_stats(stats)
+
+
+if __name__ == "__main__":
+    main()

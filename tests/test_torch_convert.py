@@ -1,0 +1,131 @@
+"""Weight-converter parity tests: build torch models with reference-compatible
+parameter naming, convert, and demand forward parity with the flax modules."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from rgie_tpu.utils import torch_convert as TC
+
+
+def test_conv_kernel_layout():
+    w = torch.randn(8, 3, 5, 5)
+    k = TC.conv_kernel(w)
+    assert k.shape == (5, 5, 3, 8)
+
+
+def test_realize_spectral_norm_matches_torch():
+    """torch spectral_norm eval weight == our realized weight."""
+    conv = nn.Conv2d(4, 6, 3)
+    sn = nn.utils.spectral_norm(conv)
+    # run a few power iterations
+    x = torch.randn(1, 4, 8, 8)
+    for _ in range(5):
+        sn(x)
+    sn.eval()
+    with torch.no_grad():
+        sn(x)  # one more to settle u
+        w_eval = sn.weight.detach().numpy().copy()
+    sd = sn.state_dict()
+    realized = TC.realize_spectral_norm(sd["weight_orig"], sd["weight_u"])
+    np.testing.assert_allclose(realized, w_eval, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_resnet50_forward_parity(rng):
+    """Hand-built torch ResNet-50 with torchvision naming vs our flax ResNet-50."""
+    from rgie_tpu.models.resnet import resnet50
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class TorchResNet50(nn.Module):
+        def __init__(self, num_classes=4):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = self._make_layer(64, 3, 1)
+            self.layer2 = self._make_layer(128, 4, 2)
+            self.layer3 = self._make_layer(256, 6, 2)
+            self.layer4 = self._make_layer(512, 3, 2)
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc = nn.Linear(2048, num_classes)
+
+        def _make_layer(self, planes, blocks, stride):
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * 4, 1, stride, bias=False),
+                nn.BatchNorm2d(planes * 4))
+            layers = [Bottleneck(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * 4
+            layers += [Bottleneck(self.inplanes, planes) for _ in range(blocks - 1)]
+            return nn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = self.avgpool(x).flatten(1)
+            return self.fc(x)
+
+    tm = TorchResNet50(num_classes=4)
+    # randomize BN stats so the test is meaningful
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+    tm.eval()
+
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        expect = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    variables = TC.convert_resnet50(tm.state_dict())
+    variables = jax.tree.map(jnp.asarray, variables)
+    model = resnet50(4)
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_midu_converter_parity(rng):
+    """torch Sequential midu (SD variant, MiduClassifier.py:144-160) vs flax."""
+    from rgie_tpu.models.midu import MiduSD
+
+    tm = nn.Sequential(
+        nn.Conv2d(1280, 256, 3, padding=1), nn.ReLU(), nn.MaxPool2d(2, 2),
+        nn.Conv2d(256, 128, 3, padding=1), nn.ReLU(),
+        nn.AdaptiveAvgPool2d((2, 2)), nn.Flatten(),
+        nn.Linear(512, 64), nn.ReLU(), nn.Linear(64, 2))
+    tm.eval()
+    x = rng.normal(size=(2, 8, 8, 1280)).astype(np.float32)
+    with torch.no_grad():
+        expect = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    variables = jax.tree.map(jnp.asarray, TC.convert_midu(tm.state_dict(), is_sdxl=False))
+    got = np.asarray(MiduSD(2).apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
