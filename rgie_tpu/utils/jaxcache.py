@@ -15,9 +15,19 @@ _ENABLED = False
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
-    """Idempotently enable the JAX persistent compilation cache."""
+    """Idempotently enable the JAX persistent compilation cache.
+
+    Also honors RGIE_PLATFORM (e.g. "cpu"): some deployment environments
+    force the platform list from sitecustomize via jax.config (overriding the
+    JAX_PLATFORMS env var), so a config-level update after import is the only
+    reliable override.
+    """
     global _ENABLED
     import jax
+
+    platform = os.environ.get("RGIE_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
 
     path = Path(cache_dir or os.environ.get("RGIE_JAX_CACHE_DIR",
                                             Path.home() / ".cache" / "rgie_jax"))

@@ -36,16 +36,22 @@ def dense_kernel(t) -> np.ndarray:
     return _np(t).T
 
 
-def realize_spectral_norm(weight_orig, u) -> np.ndarray:
-    """Fold torch spectral_norm into the kernel: W / sigma, sigma = u^T W v
-    with one power-iteration step v = normalize(W^T u) — exactly what
-    torch.nn.utils.spectral_norm computes at eval
-    (reference MUNIT config uses weight_norm_type 'spectral', yaml:66)."""
+def realize_spectral_norm(weight_orig, u, v=None) -> np.ndarray:
+    """Fold torch spectral_norm into the kernel: W / sigma, sigma = u^T W v.
+
+    At eval torch uses the STORED power-iteration vectors u and v
+    (torch.nn.utils.spectral_norm keeps both in the state dict); pass v when
+    available, else recompute v = normalize(W^T u) (one extra half-iteration,
+    ~1e-3 relative drift). Reference MUNIT config uses weight_norm_type
+    'spectral' (yaml:66)."""
     w = _np(weight_orig)
     u = _np(u).reshape(-1)
     w_mat = w.reshape(w.shape[0], -1)
-    v = w_mat.T @ u
-    v = v / (np.linalg.norm(v) + 1e-12)
+    if v is not None:
+        v = _np(v).reshape(-1)
+    else:
+        v = w_mat.T @ u
+        v = v / (np.linalg.norm(v) + 1e-12)
     sigma = float(u @ (w_mat @ v))
     return w / sigma
 
@@ -159,7 +165,8 @@ def convert_clip_visual(state_dict: Mapping[str, Any], layers: int = 12,
 def _imag_conv(sd, prefix) -> Dict[str, Any]:
     """One imaginaire conv layer (possibly spectral-normed) -> flax conv dict."""
     if f"{prefix}.weight_orig" in sd:
-        w = realize_spectral_norm(sd[f"{prefix}.weight_orig"], sd[f"{prefix}.weight_u"])
+        w = realize_spectral_norm(sd[f"{prefix}.weight_orig"], sd[f"{prefix}.weight_u"],
+                                  sd.get(f"{prefix}.weight_v"))
     else:
         w = _np(sd[f"{prefix}.weight"])
     out = {"kernel": w.transpose(2, 3, 1, 0) if w.ndim == 4 else w.T}
@@ -170,7 +177,8 @@ def _imag_conv(sd, prefix) -> Dict[str, Any]:
 
 def _imag_linear(sd, prefix) -> Dict[str, Any]:
     if f"{prefix}.weight_orig" in sd:
-        w = realize_spectral_norm(sd[f"{prefix}.weight_orig"], sd[f"{prefix}.weight_u"])
+        w = realize_spectral_norm(sd[f"{prefix}.weight_orig"], sd[f"{prefix}.weight_u"],
+                                  sd.get(f"{prefix}.weight_v"))
     else:
         w = _np(sd[f"{prefix}.weight"])
     out = {"kernel": w.T}
@@ -292,15 +300,24 @@ def filter_imaginaire_states(state_dict: Mapping[str, Any],
 
 def convert_midu(state_dict: Mapping[str, Any], is_sdxl: bool = False) -> Dict[str, Any]:
     """Sequential index naming (MiduClassifier.py:122-161) -> flax midu params.
-    SDXL: convs at 0,3,6,9, linears at 13,15. SD: convs at 0,3, linears at 7,9."""
+    SDXL: convs at 0,3,6,9, linears at 13,15. SD: convs at 0,3, linears at 7,9.
+
+    The first dense follows torch's Flatten of an NCHW map (channel-major);
+    our NHWC flatten is (H, W, C)-major, so its input dim is permuted
+    CHW -> HWC (C=128/64, H=W=2 in both variants)."""
     conv_ixs = (0, 3, 6, 9) if is_sdxl else (0, 3)
     lin_ixs = (13, 15) if is_sdxl else (7, 9)
+    flat_c = 64 if is_sdxl else 128
     p: Dict[str, Any] = {}
     for n, i in enumerate(conv_ixs):
         p[f"conv_{n}"] = {"kernel": conv_kernel(state_dict[f"{i}.weight"]),
                           "bias": _np(state_dict[f"{i}.bias"])}
     for n, i in enumerate(lin_ixs):
-        p[f"dense_{n}"] = {"kernel": dense_kernel(state_dict[f"{i}.weight"]),
+        w = _np(state_dict[f"{i}.weight"])  # (out, in)
+        if n == 0:
+            out_dim = w.shape[0]
+            w = w.reshape(out_dim, flat_c, 2, 2).transpose(0, 2, 3, 1).reshape(out_dim, -1)
+        p[f"dense_{n}"] = {"kernel": w.T,
                            "bias": _np(state_dict[f"{i}.bias"])}
     return {"params": p}
 

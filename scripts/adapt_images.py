@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Diffusion dataset editing CLI — the TPU-native analog of the reference's
+flagship entry point `/root/reference/src/adapt_images.py`: iterate a
+captions dataset, DDIM-invert each image, optionally run null-text
+optimization, resample with classifier-free + midu classifier guidance, save
+and rescore every output.
+
+Without downloaded SD weights (zero-egress), --scale tiny runs the full flow
+on a small random-weight UNet/VAE; converted checkpoints plug in via
+--unet/--vae/--midu checkpoints (rgie_tpu.utils.torch_convert).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rgie_tpu.utils.jaxcache import enable_persistent_cache
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--midu-ckpt", default=None)
+    ap.add_argument("--scale", choices=("tiny", "sd", "sdxl"), default="tiny")
+    ap.add_argument("--num-steps", type=int, default=50)
+    ap.add_argument("--end-iteration", type=int, default=None)
+    ap.add_argument("--cfg-scale", type=float, default=2.0)
+    ap.add_argument("--clf-scale", type=float, default=0.2)
+    ap.add_argument("--reference-value", type=float, default=None,
+                    help="alpha offset on the original VA (GuidanceConfig.reference_value)")
+    ap.add_argument("--no-nto", action="store_true")
+    ap.add_argument("--use-caption", action="store_true", default=True)
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--input-size", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from rgie_tpu.adapt import ImageAdapter, ImageScorer, OutputImageManager
+    from rgie_tpu.config import DATA_DIR, OUT_DIR, AdaptConfig, GuidanceConfig
+    from rgie_tpu.data import CaptionFeedDataset, first_caption
+    from rgie_tpu.diffusion import schedulers as SCH
+    from rgie_tpu.diffusion.pipeline import InversionResamplingPipeline, PipelineParams
+    from rgie_tpu.diffusion.text_encoder import (TextTowerConfig,
+                                                 create_sd_prompt_encoder)
+    from rgie_tpu.diffusion.unet import UNetConfig, create_unet
+    from rgie_tpu.diffusion.vae import VaeConfig, create_vae
+    from rgie_tpu.models.midu import MiduSD, MiduSDXL
+
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    if args.scale == "tiny":
+        input_size = args.input_size or 64
+        unet_cfg, vae_cfg = UNetConfig.tiny(), VaeConfig.tiny()
+        tower_cfg = TextTowerConfig.tiny()
+        is_xl = False
+    elif args.scale == "sd":
+        input_size = args.input_size or 512
+        unet_cfg, vae_cfg = UNetConfig.sd21(), VaeConfig.sd()
+        tower_cfg = TextTowerConfig.open_clip_vit_h()
+        is_xl = False
+    else:
+        input_size = args.input_size or 1024
+        unet_cfg, vae_cfg = UNetConfig.sdxl(), VaeConfig.sdxl()
+        tower_cfg = TextTowerConfig.clip_vit_l()
+        is_xl = True
+
+    latent_hw = input_size // (2 ** (len(vae_cfg.block_out_channels) - 1))
+    unet, unet_vars = create_unet(k1, unet_cfg, sample_hw=latent_hw, context_len=77)
+    vae, vae_vars = create_vae(k2, vae_cfg, image_hw=input_size)
+    mid_ch = unet_cfg.block_out_channels[-1]
+    midu = MiduSDXL(2) if is_xl else MiduSD(2)
+    mid_hw = latent_hw // (2 ** (len(unet_cfg.block_out_channels) - 1))
+    midu_vars = midu.init(k3, jnp.zeros((1, mid_hw, mid_hw, mid_ch)))
+    if args.midu_ckpt and os.path.exists(args.midu_ckpt):
+        from rgie_tpu.utils.torch_convert import convert_midu, load_torch_state_dict
+
+        midu_vars = jax.tree.map(jnp.asarray,
+                                 convert_midu(load_torch_state_dict(args.midu_ckpt), is_xl))
+        print(f"loaded midu classifier from {args.midu_ckpt}")
+
+    prompt_enc = create_sd_prompt_encoder(k4, tower_cfg)
+    sched = SCH.make_schedule(args.num_steps)
+    pipe = InversionResamplingPipeline(unet=unet, vae=vae, sched=sched,
+                                       midu_model=midu, is_xl=is_xl)
+    params = PipelineParams(unet=unet_vars, vae=vae_vars, midu=midu_vars)
+
+    embeds_fn = lambda p, n: prompt_enc.encode_sd(p, n, do_cfg=False)
+    cfg_embeds_fn = lambda p, n: prompt_enc.encode_sd(p, n, do_cfg=True)
+
+    scorer = ImageScorer(pipe=pipe, params=params, embeds_fn=embeds_fn)
+    out_dir = args.out_dir or str(OUT_DIR / "adapt_images")
+    manager = OutputImageManager(scorer=scorer, output_path=out_dir)
+    adapter = ImageAdapter(pipe=pipe, params=params, scorer=scorer,
+                           embeds_fn=embeds_fn, cfg_embeds_fn=cfg_embeds_fn,
+                           input_size=input_size)
+
+    gcfg = GuidanceConfig(clf_scale=args.clf_scale, cfg_scale=args.cfg_scale,
+                          reference_value=args.reference_value,
+                          is_nto=not args.no_nto, use_caption=args.use_caption)
+    acfg = AdaptConfig(num_inversion_steps=args.num_steps,
+                       num_inference_steps=args.num_steps,
+                       end_iteration=args.end_iteration, is_xl=is_xl)
+
+    dataset = CaptionFeedDataset(args.data_dir or str(DATA_DIR))
+    n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
+    for i in range(n):
+        _, (name, path, captions) = dataset[i]
+        caption = first_caption(captions)
+        print(f"[ {i + 1} / {n} ]: {name}\n")
+        adapter.adapt(path, gcfg, manager, acfg.resolved_end_iteration(), caption)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Guidance-regressor (midu) training CLI — the TPU-native analog of
+`/root/reference/src/clf/train_guidance_clf.py`: train the small CNN that
+predicts valence/arousal from UNet mid-block activations of noisy latents.
+
+Pipeline per batch (reference :209-294): teacher VA labels from the frozen
+pixel regressor -> VAE-encode + add scheduler noise at random t -> UNet
+mid-block features -> midu MSE -> Adam(lr 1e-5, wd 5e-5). Here the whole
+step (feature extraction + fwd + bwd + update) is one pjit'd program with the
+batch sharded over the `data` mesh axis (the gradient all-reduce the
+reference never performed) and best-val orbax checkpointing.
+
+Zero-egress default: random-weight UNet/VAE/teacher at --scale tiny;
+converted torch checkpoints plug in via flags.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rgie_tpu.utils.jaxcache import enable_persistent_cache
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data-dir", default=None, help="captions feed dataset; synthetic if absent")
+    ap.add_argument("--out-dir", default="./checkpoints/midu")
+    ap.add_argument("--scale", choices=("tiny", "sd"), default="tiny")
+    ap.add_argument("--setting", choices=("va", "valence", "arousal"), default="va")
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--learning-rate", type=float, default=1e-5)
+    ap.add_argument("--weight-decay", type=float, default=5e-5)
+    ap.add_argument("--num-batches", type=int, default=16,
+                    help="train batches per epoch (synthetic mode)")
+    ap.add_argument("--val-batches", type=int, default=4)
+    ap.add_argument("--image-size", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rgie_tpu.config import TrainGuidanceConfig
+    from rgie_tpu.diffusion import schedulers as SCH
+    from rgie_tpu.diffusion.unet import UNetConfig, create_unet
+    from rgie_tpu.diffusion.vae import AutoencoderKL, VaeConfig, create_vae
+    from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
+    from rgie_tpu.models.emotion import create_regressor
+    from rgie_tpu.models.midu import MiduSD
+    from rgie_tpu.parallel import create_mesh, shard_batch
+    from rgie_tpu.training.train_midu import (create_train_state, get_noisy_latents,
+                                              make_eval_step, make_train_step,
+                                              shard_train_step)
+    from rgie_tpu.utils.checkpoint import BestCheckpointer
+
+    cfg = TrainGuidanceConfig(setting=args.setting, batch_size=args.batch_size,
+                              learning_rate=args.learning_rate,
+                              weight_decay=args.weight_decay, num_epochs=args.epochs)
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+
+    if args.scale == "tiny":
+        image_size = args.image_size or 64
+        unet_cfg, vae_cfg = UNetConfig.tiny(), VaeConfig.tiny()
+        teacher = create_regressor(k4, input_size=72, crop_size=64)
+    else:
+        image_size = args.image_size or 512
+        unet_cfg, vae_cfg = UNetConfig.sd21(), VaeConfig.sd()
+        teacher = create_regressor(k4)
+    teacher_loss = ValenceArousalLoss(regressor=teacher, loss_type=args.setting)
+
+    latent_hw = image_size // (2 ** (len(vae_cfg.block_out_channels) - 1))
+    unet, unet_vars = create_unet(k1, unet_cfg, sample_hw=latent_hw, context_len=8)
+    vae, vae_vars = create_vae(k2, vae_cfg, image_hw=image_size)
+    mid_ch = unet_cfg.block_out_channels[-1]
+    mid_hw = latent_hw // (2 ** (len(unet_cfg.block_out_channels) - 1))
+    num_outputs = 2 if args.setting == "va" else 1
+    midu = MiduSD(num_outputs)
+    midu_vars = midu.init(k3, jnp.zeros((1, mid_hw, mid_hw, mid_ch)))
+
+    sched = SCH.make_schedule(50)
+    empty_ctx = jnp.zeros((1, 8, unet_cfg.cross_attention_dim))
+
+    def features_and_labels(rng_key, images):
+        """Teacher labels + noisy-latent mid-block features (all frozen)."""
+        labels = teacher_loss.predict_loss_metric(images)
+        latents = vae.apply(vae_vars, images * 2 - 1, method=AutoencoderKL.encode)
+        noisy, t = get_noisy_latents(rng_key, latents, sched.alphas_cumprod,
+                                     cfg.num_train_timesteps)
+        ctx = jnp.broadcast_to(empty_ctx, (noisy.shape[0],) + empty_ctx.shape[1:])
+        _, mid = unet.apply(unet_vars, noisy, t, ctx)
+        return mid, labels
+
+    features_and_labels = jax.jit(features_and_labels)
+
+    mesh = create_mesh()
+    state = create_train_state(midu_vars, cfg)
+    train_step = make_train_step(lambda p, f: midu.apply(p, f), cfg)
+    train_step, state = shard_train_step(train_step, mesh, state)
+    eval_step = jax.jit(make_eval_step(lambda p, f: midu.apply(p, f)))
+
+    def data_epoch(rng_key, n_batches):
+        """Synthetic or dataset-backed image batches."""
+        if args.data_dir and os.path.exists(args.data_dir):
+            from rgie_tpu.data import CaptionFeedDataset, iterate_batches
+
+            ds = CaptionFeedDataset(args.data_dir)
+            count = 0
+            for imgs, _ in iterate_batches(ds, cfg.batch_size, image_size, image_size):
+                if imgs.shape[0] == cfg.batch_size:
+                    yield jnp.asarray(imgs)
+                    count += 1
+                if count >= n_batches:
+                    break
+        else:
+            for i in range(n_batches):
+                yield jax.random.uniform(jax.random.fold_in(rng_key, i),
+                                         (cfg.batch_size, image_size, image_size, 3))
+
+    ckpt = BestCheckpointer(args.out_dir)
+    for epoch in range(cfg.num_epochs):
+        t0 = time.time()
+        train_losses = []
+        for bi, images in enumerate(data_epoch(jax.random.fold_in(k5, epoch),
+                                               args.num_batches)):
+            feats, labels = features_and_labels(jax.random.fold_in(k5, epoch * 10000 + bi),
+                                                images)
+            feats = shard_batch(feats, mesh)
+            labels = shard_batch(labels, mesh)
+            state, loss, _ = train_step(state, feats, labels)
+            train_losses.append(float(loss))
+
+        val_losses = []
+        for bi, images in enumerate(data_epoch(jax.random.fold_in(k5, 777),
+                                               args.val_batches)):
+            feats, labels = features_and_labels(jax.random.fold_in(k5, 888 + bi), images)
+            loss, _ = eval_step(state.params, feats, labels)
+            val_losses.append(float(loss))
+
+        val_loss = float(np.mean(val_losses))
+        saved = ckpt.maybe_save(val_loss, state.params, int(state.step))
+        print(f"epoch {epoch + 1}/{cfg.num_epochs} "
+              f"train {np.mean(train_losses):.5f} val {val_loss:.5f} "
+              f"{'(best saved)' if saved else ''} [{time.time() - t0:.1f}s]")
+
+    print(f"best val loss: {ckpt.best_loss:.5f} at {ckpt.best_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -30,8 +30,11 @@ def test_realize_spectral_norm_matches_torch():
         sn(x)  # one more to settle u
         w_eval = sn.weight.detach().numpy().copy()
     sd = sn.state_dict()
-    realized = TC.realize_spectral_norm(sd["weight_orig"], sd["weight_u"])
+    realized = TC.realize_spectral_norm(sd["weight_orig"], sd["weight_u"], sd["weight_v"])
     np.testing.assert_allclose(realized, w_eval, rtol=1e-4, atol=1e-5)
+    # Recompute-v fallback stays within power-iteration drift.
+    approx = TC.realize_spectral_norm(sd["weight_orig"], sd["weight_u"])
+    np.testing.assert_allclose(approx, w_eval, rtol=5e-3, atol=1e-4)
 
 
 @pytest.mark.slow
