@@ -2,6 +2,7 @@
 
 from rgie_tpu.data.dataset import (
     CaptionFeedDataset,
+    ImageDirectoryDataset,
     CocoCaptionsDataset,
     first_caption,
     iterate_batches,

@@ -84,6 +84,25 @@ class CocoCaptionsDataset:
         return load_image_rgb(path), (name, path, caption)
 
 
+class ImageDirectoryDataset:
+    """Flat directory of images, no captions (referenced by the reference's
+    run_img_trans.py:67 for NAPS-style media folders)."""
+
+    EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+        self.files = sorted(p for p in self.root.iterdir()
+                            if p.suffix.lower() in self.EXTENSIONS)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, ix: int) -> Tuple[np.ndarray, Tuple[str, str, str]]:
+        path = str(self.files[ix])
+        return load_image_rgb(path), (os.path.basename(path), path, "")
+
+
 def first_caption(joined: str) -> str:
     """The adapter uses the first of the '/'-joined captions (adapt_images.py:72)."""
     return joined.split("/")[0]

@@ -61,6 +61,7 @@ class InversionResamplingPipeline:
     midu_model: Any = None            # MiduSD/MiduSDXL module (or None)
     normalize_gradient: bool = True   # AdaptConfig.normalize_gradient
     is_xl: bool = False
+    scheduler_type: str = "ddim"      # "ddim" | "dpm" (AdaptConfig.scheduler_type)
 
     # -- UNet call helper ---------------------------------------------------
 
@@ -101,6 +102,22 @@ class InversionResamplingPipeline:
         if end_iteration is not None:
             ts = ts[:end_iteration]
 
+        if self.scheduler_type == "dpm":
+            dt = self.sched.num_train_timesteps // self.sched.num_inference_steps
+            src_ts = jnp.concatenate([ts[:1] - dt, ts[:-1]])
+
+            def body_dpm(carry, t_pair):
+                lat, state = carry
+                t_src, t_dst = t_pair
+                eps, _ = self._unet(params.unet, lat, t_src, embeds, added)
+                new, state = SCH.dpm_step(self.sched, eps, t_src, t_dst, lat, state)
+                return (new, state), new
+
+            (final, _), pivots = jax.lax.scan(
+                body_dpm, (latents, SCH.dpm_init_state(latents.shape, latents.dtype)),
+                (src_ts, ts))
+            return final, jnp.concatenate([latents[None], pivots], axis=0)
+
         def body(lat, t):
             eps, _ = self._unet(params.unet, lat, t, embeds, added)
             new = SCH.ddim_inverse_step(self.sched, eps, t, lat)
@@ -138,8 +155,12 @@ class InversionResamplingPipeline:
                                      reference_value=midu_reference_value)
             return clf.score(mid)
 
-        def body(lat, t_and_i):
-            t, i = t_and_i
+        dt = self.sched.num_train_timesteps // self.sched.num_inference_steps
+        next_ts = jnp.concatenate([ts[1:], ts[-1:] - dt])
+
+        def body(carry, t_and_i):
+            lat, dpm_state = carry
+            t, t_next, i = t_and_i
             if do_cfg:
                 embeds = prompt_embeds
                 if uncond_embeds_per_step is not None:
@@ -153,7 +174,10 @@ class InversionResamplingPipeline:
             else:
                 eps, _ = self._unet(params.unet, lat, t, prompt_embeds, added)
 
-            lat = SCH.ddim_step(self.sched, eps, t, lat)
+            if self.scheduler_type == "dpm":
+                lat, dpm_state = SCH.dpm_step(self.sched, eps, t, t_next, lat, dpm_state)
+            else:
+                lat = SCH.ddim_step(self.sched, eps, t, lat)
 
             if do_clf:
                 # Classifier guidance on the POST-step latents, gradient
@@ -165,9 +189,10 @@ class InversionResamplingPipeline:
                 if self.normalize_gradient:
                     grad = grad / (jnp.linalg.norm(grad) + 1e-10)
                 lat = lat - guidance_clf_scale * grad
-            return lat, None
+            return (lat, dpm_state), None
 
-        final, _ = jax.lax.scan(body, latents, (ts, steps))
+        init = (latents, SCH.dpm_init_state(latents.shape, latents.dtype))
+        (final, _), _ = jax.lax.scan(body, init, (ts, next_ts, steps))
         return final
 
     # -- null-text optimization ----------------------------------------------

@@ -162,7 +162,7 @@ def apply_chain(im, x):
     for p in (tone, color):
         total = im * 0
         for k in range(8):
-            total = total + torch.clamp(im - k / 8, 0, 1 / 8) * p[:, :, k]
+            total = total + torch.clamp(im - k / 8, 0, 1 / 8) * p[:, :, k][..., None]
         im = torch.clamp(torch.clamp(total, max=1.0), 0, 1)
     # contrast (mean-subtraction, 601 gray)
     gray = 0.299 * im[:, 0] + 0.587 * im[:, 1] + 0.114 * im[:, 2]
