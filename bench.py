@@ -34,7 +34,10 @@ from rgie_tpu.models.emotion import create_regressor
 
 NUM_STEPS = 100
 IMAGE_SIZE = 256
-BATCH = int(os.environ.get("RGIE_BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("RGIE_BENCH_BATCH", "8"))
+# bfloat16 runs the frozen regressor/CLIP compute on the MXU fast path with
+# f32 loss/optimizer masters (the 41 edit params and Adam state stay f32).
+DTYPE = os.environ.get("RGIE_BENCH_DTYPE", "bfloat16")
 
 # PyTorch-CPU anchor: reference-equivalent objective step (ten-crop 448
 # ResNet-50 fwd+bwd + CLIP ViT-B/32 fwd+bwd + filter chain) measured by
@@ -49,10 +52,11 @@ if TORCH_CPU_STEP_SECONDS is None and os.path.exists(_BASELINE_FILE):
 
 
 def main():
+    dtype = jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
-    regressor = create_regressor(k1)                     # 480/448 ten-crop ResNet-50
+    regressor = create_regressor(k1, dtype=dtype)        # 480/448 ten-crop ResNet-50
     va_loss = ValenceArousalLoss(regressor=regressor)
-    clip_enc = create_clip_image_encoder(k2)             # ViT-B/32
+    clip_enc = create_clip_image_encoder(k2, dtype=dtype)  # ViT-B/32
 
     cfg = ParamEditConfig(optimize=OptimizeConfig(num_steps=NUM_STEPS,
                                                   learning_rate=0.05))
@@ -94,6 +98,7 @@ def main():
             "per_step_ms_batched": round(step_latency_ms, 2),
             "compile_seconds": round(compile_s, 1),
             "chips": n_chips,
+            "dtype": DTYPE,
             "torch_cpu_step_seconds": TORCH_CPU_STEP_SECONDS,
         },
     }))

@@ -39,14 +39,20 @@ class ImageScorer:
     pipe: InversionResamplingPipeline
     params: PipelineParams
     embeds_fn: Callable[[str, str], jnp.ndarray]  # (prompt, negative) -> (1, L, D)
+    added_cond_fn: Optional[Callable[[str, str], "SdxlCond"]] = None  # SDXL
 
     def __post_init__(self):
         empty = self.embeds_fn("", "")
+        added = None
+        if self.pipe.is_xl and self.added_cond_fn is not None:
+            both = self.added_cond_fn("", "")
+            added = type(both)(text_embeds=both.text_embeds[1:2],
+                               time_ids=both.time_ids[1:2])
 
         def _score(params, image):
             latents = self.pipe.encode_image(params, image)
             t = self.pipe.sched.timesteps[-1]
-            _, mid = self.pipe._unet(params.unet, latents, t, empty, None)
+            _, mid = self.pipe._unet(params.unet, latents, t, empty, added)
             clf = ValenceArousalMidu(model=self.pipe.midu_model, variables=params.midu)
             return clf.predict(mid)
 
@@ -114,6 +120,9 @@ class ImageAdapter:
     scorer: ImageScorer
     embeds_fn: Callable[[str, str], jnp.ndarray]       # single-prompt embeds
     cfg_embeds_fn: Callable[[str, str], jnp.ndarray]   # (2, L, D) [uncond; cond]
+    # SDXL only: (prompt, negative) -> SdxlCond with rows [uncond; cond]
+    # (text_embeds + micro-conditioning time_ids, diff_utils.py:274-367).
+    added_cond_fn: Optional[Callable[[str, str], "SdxlCond"]] = None
     input_size: int = 512
 
     def __post_init__(self):
@@ -170,8 +179,14 @@ class ImageAdapter:
 
         # Null-text inversion uses empty prompts (pipeline.py:83-84).
         empty = self.embeds_fn("", "")
+        added_empty = None
+        if pipe.is_xl and self.added_cond_fn is not None:
+            both = self.added_cond_fn("", "")
+            added_empty = type(both)(text_embeds=both.text_embeds[1:2],
+                                     time_ids=both.time_ids[1:2])
         latents = pipe.encode_image(self.params, image)
         noisy, pivots = self._reverse_jit(self.params, latents, empty,
+                                          added=added_empty,
                                           end_iteration=end_it)
 
         outputs: Dict[str, jnp.ndarray] = {}
@@ -183,15 +198,28 @@ class ImageAdapter:
                 nto_scale = cfg.cfg_scale
                 cond = self.embeds_fn(caption, "")
                 uncond = self.embeds_fn("", "")
+                nto_added_c, nto_added_u = None, None
+                if pipe.is_xl and self.added_cond_fn is not None:
+                    both = self.added_cond_fn(caption, "")
+                    nto_added_u = type(both)(text_embeds=both.text_embeds[0:1],
+                                             time_ids=both.time_ids[0:1])
+                    nto_added_c = type(both)(text_embeds=both.text_embeds[1:2],
+                                             time_ids=both.time_ids[1:2])
                 nto_embeds = self._nto_jit(self.params, pivots, cond, uncond,
+                                           added_cond=nto_added_c,
+                                           added_uncond=nto_added_u,
                                            guidance_scale=cfg.cfg_scale)
             elif not cfg.is_nto:
                 nto_embeds = None
                 nto_scale = -1.0
 
             embeds = self.cfg_embeds_fn(prompt, cfg.negative_prompt)
+            added = None
+            if pipe.is_xl and self.added_cond_fn is not None:
+                added = self.added_cond_fn(prompt, cfg.negative_prompt)
             out_lat = self._sample_jit(
                 self.params, noisy, embeds,
+                added=added,
                 guidance_scale=cfg.cfg_scale,
                 guidance_clf_scale=cfg.clf_scale,
                 uncond_embeds_per_step=nto_embeds,

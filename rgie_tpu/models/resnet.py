@@ -52,7 +52,12 @@ class Bottleneck(nn.Module):
 
 
 def max_pool_same_as_torch(x: jnp.ndarray) -> jnp.ndarray:
-    """torch MaxPool2d(kernel=3, stride=2, padding=1) on NHWC."""
+    """torch MaxPool2d(kernel=3, stride=2, padding=1) on NHWC.
+
+    Uses XLA's native reduce_window; its select-and-scatter gradient measured
+    FASTER on v5e than a hand-written 9-offset pad-sum VJP (8.9ms vs 46ms for
+    the regressor's b10@224x64 pool) — don't hand-schedule what the compiler
+    does better."""
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),

@@ -86,20 +86,41 @@ def main():
                                  convert_midu(load_torch_state_dict(args.midu_ckpt), is_xl))
         print(f"loaded midu classifier from {args.midu_ckpt}")
 
-    prompt_enc = create_sd_prompt_encoder(k4, tower_cfg)
     sched = SCH.make_schedule(args.num_steps)
     pipe = InversionResamplingPipeline(unet=unet, vae=vae, sched=sched,
                                        midu_model=midu, is_xl=is_xl)
     params = PipelineParams(unet=unet_vars, vae=vae_vars, midu=midu_vars)
 
-    embeds_fn = lambda p, n: prompt_enc.encode_sd(p, n, do_cfg=False)
-    cfg_embeds_fn = lambda p, n: prompt_enc.encode_sd(p, n, do_cfg=True)
+    added_cond_fn = None
+    if is_xl:
+        from rgie_tpu.diffusion.pipeline import SdxlCond
+        from rgie_tpu.diffusion.text_encoder import create_sdxl_prompt_encoder
 
-    scorer = ImageScorer(pipe=pipe, params=params, embeds_fn=embeds_fn)
+        prompt_enc = create_sdxl_prompt_encoder(k4)
+
+        def embeds_fn(p, n):
+            e, _, _ = prompt_enc.encode_sdxl(p, n, image_size=input_size)
+            return e[1:2]  # cond row
+
+        def cfg_embeds_fn(p, n):
+            e, _, _ = prompt_enc.encode_sdxl(p, n, image_size=input_size)
+            return e
+
+        def added_cond_fn(p, n):
+            _, pooled, time_ids = prompt_enc.encode_sdxl(p, n, image_size=input_size)
+            return SdxlCond(text_embeds=pooled, time_ids=time_ids)
+    else:
+        prompt_enc = create_sd_prompt_encoder(k4, tower_cfg)
+        embeds_fn = lambda p, n: prompt_enc.encode_sd(p, n, do_cfg=False)
+        cfg_embeds_fn = lambda p, n: prompt_enc.encode_sd(p, n, do_cfg=True)
+
+    scorer = ImageScorer(pipe=pipe, params=params, embeds_fn=embeds_fn,
+                         added_cond_fn=added_cond_fn)
     out_dir = args.out_dir or str(OUT_DIR / "adapt_images")
     manager = OutputImageManager(scorer=scorer, output_path=out_dir)
     adapter = ImageAdapter(pipe=pipe, params=params, scorer=scorer,
                            embeds_fn=embeds_fn, cfg_embeds_fn=cfg_embeds_fn,
+                           added_cond_fn=added_cond_fn,
                            input_size=input_size)
 
     gcfg = GuidanceConfig(clf_scale=args.clf_scale, cfg_scale=args.cfg_scale,

@@ -215,3 +215,52 @@ def test_pipeline_null_text_optimization(key, rng):
     out = pipe.sample(params, pivots[-1], jnp.concatenate([uncond, cond], axis=0),
                       guidance_scale=2.0, uncond_embeds_per_step=uncond_list)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_unet_sdxl_added_conditioning(key, rng):
+    """tiny config with SDXL's text_time added embeddings."""
+    import dataclasses
+
+    from rgie_tpu.diffusion.unet import UNet2DCondition, UNetConfig
+
+    cfg = dataclasses.replace(UNetConfig.tiny(), addition_embed_type="text_time",
+                              projection_class_embeddings_input_dim=None)
+    model = UNet2DCondition(cfg)
+    sample = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 5, 32))
+    te = jnp.zeros((1, 16))
+    tids = jnp.zeros((1, 6))
+    variables = model.init(key, sample, jnp.zeros((1,), jnp.int32), ctx,
+                           added_text_embeds=te, added_time_ids=tids)
+    out, mid = model.apply(variables, sample, jnp.asarray([7]), ctx,
+                           added_text_embeds=te, added_time_ids=tids)
+    assert out.shape == (1, 8, 8, 4)
+    # added conds must influence the output
+    out2, _ = model.apply(variables, sample, jnp.asarray([7]), ctx,
+                          added_text_embeds=te + 1.0, added_time_ids=tids)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_pipeline_dpm_sampling(key, rng):
+    """DPM++ scheduler path through the pipeline scans."""
+    import dataclasses as dc
+
+    from rgie_tpu.diffusion import schedulers as SCH
+    from rgie_tpu.diffusion.pipeline import InversionResamplingPipeline, PipelineParams
+    from rgie_tpu.diffusion.unet import UNetConfig, create_unet
+    from rgie_tpu.diffusion.vae import VaeConfig, create_vae
+
+    k1, k2 = jax.random.split(key)
+    unet, unet_vars = create_unet(k1, UNetConfig.tiny(), sample_hw=16, context_len=5)
+    vae, vae_vars = create_vae(k2, VaeConfig.tiny(), image_hw=32)
+    sched = SCH.make_schedule(4)
+    pipe = InversionResamplingPipeline(unet=unet, vae=vae, sched=sched,
+                                       scheduler_type="dpm")
+    params = PipelineParams(unet=unet_vars, vae=vae_vars)
+    image = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    embeds = jnp.asarray(rng.normal(size=(1, 5, 32)).astype(np.float32))
+    lat = pipe.encode_image(params, image)
+    noisy, pivots = pipe.reverse_sample(params, lat, embeds)
+    assert pivots.shape[0] == 5
+    out = pipe.sample(params, noisy, embeds, guidance_scale=1.0)
+    assert np.all(np.isfinite(np.asarray(out)))
