@@ -148,7 +148,8 @@ def make_edit_program(objective: Callable[[jnp.ndarray, Any], jnp.ndarray],
 
 
 def optimize_gradient_free(objective: Callable[[np.ndarray], float],
-                           x0: np.ndarray, verbose: bool = False):
+                           x0: np.ndarray, verbose: bool = False,
+                           maxiter: int = None):
     """Nelder-Mead path (reference: optimize_image.py:126-148). ``objective``
     should already be jitted; x stays on host (the simplex algorithm is
     sequential), but each eval is one device call instead of the reference's
@@ -164,6 +165,9 @@ def optimize_gradient_free(objective: Callable[[np.ndarray], float],
             print(f"[{neval[0]}] [loss:{loss: 3.6f}]")
         return loss
 
+    options = {"disp": verbose}
+    if maxiter is not None:
+        options["maxiter"] = maxiter
     result = minimize(wrapped, np.asarray(x0, dtype=np.float64).ravel(),
-                      method="Nelder-Mead", options={"disp": verbose})
+                      method="Nelder-Mead", options=options)
     return np.asarray(result.x, dtype=np.float32), result

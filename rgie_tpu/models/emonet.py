@@ -45,8 +45,9 @@ class EmoNet:
 
     variables: Any
     normalize_input: bool = False  # True when inputs are [0,1] (applies 0.5-norm first)
+    num_classes: int = 2           # (valence, fake arousal) output columns
 
-    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, images: jnp.ndarray, key=None) -> jnp.ndarray:
         x = images
         if self.normalize_input:
             x = (x - 0.5) / 0.5           # EmoNet.py:80-81: inserted 0.5-normalize

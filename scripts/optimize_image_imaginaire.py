@@ -59,16 +59,10 @@ def main():
     k1, k2 = jax.random.split(key)
 
     # VA regressor on [-1,1] inputs (optimize_image_imaginaire.py:57-58).
-    va_path = args.va_model or str(MODELS_DIR / "va_pred_all")
-    if os.path.exists(va_path):
-        from rgie_tpu.utils.torch_convert import convert_resnet50, load_torch_state_dict
+    from rgie_tpu.models.loader import load_va_loss
 
-        variables = jax.tree.map(jnp.asarray, convert_resnet50(load_torch_state_dict(va_path)))
-        regressor = EmotionRegressor(variables=variables, normalize=False)
-    else:
-        regressor = create_regressor(k1, normalize=False)
-        print(f"WARNING: {va_path} not found; random-weight regressor stand-in")
-    va_loss = ValenceArousalLoss(regressor=regressor)
+    va_path = args.va_model or str(MODELS_DIR / "va_pred_all")
+    va_loss = load_va_loss(va_path, k1, is_input_range_0_1=False)
 
     munit_path = args.munit_model or str(MODELS_DIR / "imaginaire_munit_200000_s5.pt")
     if os.path.exists(munit_path):

@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--limit", type=int, default=500, help="dataset cap (reference: optimize_image.py:25)")
     ap.add_argument("--adaptations", default="pos_01:0.1,pos_02:0.2,neg_01:-0.1,neg_02:-0.1,neutral:0.0")
     ap.add_argument("--gradient-free", action="store_true", help="Nelder-Mead instead of Adam")
+    ap.add_argument("--gf-maxiter", type=int, default=None, help="Nelder-Mead iteration cap")
     ap.add_argument("--save-orig", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -60,20 +61,10 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     k1, k2 = jax.random.split(key)
 
+    from rgie_tpu.models.loader import load_va_loss
+
     va_path = args.va_model or str(MODELS_DIR / "va_pred_all")
-    if os.path.exists(va_path):
-        from rgie_tpu.models.resnet import resnet50
-        from rgie_tpu.utils.torch_convert import convert_resnet50, load_torch_state_dict
-
-        variables = convert_resnet50(load_torch_state_dict(va_path))
-        variables = jax.tree.map(jnp.asarray, variables)
-        regressor = EmotionRegressor(variables=variables)
-        print(f"loaded VA regressor from {va_path}")
-    else:
-        regressor = create_regressor(k1)
-        print(f"WARNING: {va_path} not found; using random-weight regressor stand-in")
-
-    va_loss = ValenceArousalLoss(regressor=regressor)
+    va_loss = load_va_loss(va_path, k1, is_input_range_0_1=True)
     clip_enc = create_clip_image_encoder(k2) if args.weight_recon > 0 else None
 
     cfg = ParamEditConfig(
@@ -99,6 +90,29 @@ def main():
     stats = {}
     from PIL import Image
 
+    gradient_free_edit = None
+    if args.gradient_free:
+        # Nelder-Mead (reference: optimization_gradient_free,
+        # optimize_image.py:126-148): host-driven simplex over a jitted
+        # objective — each eval is one device call.
+        objective = P.make_objective(va_loss, clip_enc, cfg)
+        objective_jit = jax.jit(objective)
+        single_edit = jax.jit(P.make_single_edit(va_loss, clip_enc, cfg))
+
+        def gradient_free_edit(image, alpha):
+            va0 = va_loss.predict_loss_metric(image)
+            target = jnp.clip(va0 + alpha, 0.0, 1.0)
+            feats = (clip_enc.embed_normalized(image) if clip_enc is not None
+                     else jnp.zeros((1, 1)))
+            ctx = P.EditContext(image=image, target=target, clip_features=feats)
+            x0 = CH.pack_params(CH.init_params())
+            x_opt, _ = optimize_gradient_free(
+                lambda x: objective_jit(jnp.asarray(x), ctx, models),
+                np.asarray(x0), maxiter=args.gf_maxiter)
+            edited = CH.edit_image(image, jnp.asarray(x_opt),
+                                   input_size=cfg.crop_size, order=cfg.transforms)
+            return edited
+
     for images_np, metas in iterate_batches(dataset, batch, args.input_size,
                                             args.crop_size, limit=args.limit):
         images_np, n_real = pad_to_multiple(images_np, batch)
@@ -107,7 +121,14 @@ def main():
             S.check_init_stats_adapt(stats, name)
             alphas = jnp.full((images.shape[0], 2), alpha)
             t0 = time.time()
-            result, edited = jax.block_until_ready(edit(models, images, alphas))
+            if gradient_free_edit is not None:
+                parts = [gradient_free_edit(images[b:b + 1], jnp.asarray([alpha, alpha]))
+                         for b in range(n_real)]
+                if n_real < images.shape[0]:
+                    parts.append(images[n_real:])
+                edited = jnp.concatenate(parts)
+            else:
+                result, edited = jax.block_until_ready(edit(models, images, alphas))
             dt = time.time() - t0
             metrics = evaluate(models, images, edited)
             for b, meta in enumerate(metas[:n_real]):

@@ -134,3 +134,27 @@ def test_emonet_pipeline(key, rng):
     out = net(img)
     assert out.shape == (1, 2)
     assert float(out[0, 1]) == 0.0  # fake arousal column
+
+
+def test_load_va_loss_dispatch(key, rng):
+    """Path-name architecture dispatch (ValenceArousalLoss.py:29-57)."""
+    import jax.numpy as jnp
+
+    from rgie_tpu.models.loader import load_va_loss
+
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+
+    va = load_va_loss(None, key, input_size=72, crop_size=64)
+    assert va.regressor.num_classes == 4 and va.regressor.use_sigmoid
+    out = va.predict_loss_metric(img)
+    assert out.shape == (1, 2)
+
+    mse = load_va_loss("/nonexistent/model_mse", key, input_size=72, crop_size=64)
+    assert mse.regressor.num_classes == 2 and not mse.regressor.use_sigmoid
+
+    emo = load_va_loss("/nonexistent/EmoNet_valence.pth.tar", key,
+                       is_input_range_0_1=False)
+    assert emo.loss_type == "valence"
+    out = emo.predict_loss_metric(jnp.asarray(
+        rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)))
+    assert out.shape == (1, 1)
