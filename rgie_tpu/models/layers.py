@@ -212,3 +212,74 @@ class UnitAutoEncoder(nn.Module):
 
     def __call__(self, images):
         return self.decode(self.encode(images))
+
+
+class LayerNorm2d(nn.Module):
+    """Per-sample layer norm over (H, W, C) with channel affine
+    (activation_norm.py:425-472)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return y * scale + bias
+
+
+class ScaleNorm(nn.Module):
+    """Single learned scale over the RMS norm (activation_norm.py:474-525)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("scale", nn.initializers.ones, ())
+        norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return x / jnp.maximum(norm, self.epsilon) * g
+
+
+class SpatiallyAdaptiveNorm(nn.Module):
+    """SPADE (activation_norm.py:132-263): normalize, then FiLM with
+    spatially-varying gamma/beta computed from a conditioning MAP (segmap or
+    feature map), resized to the activation resolution."""
+
+    features: int
+    hidden: int = 128
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x, cond_map):
+        b, h, w, c = x.shape
+        cm = jax.image.resize(cond_map, (b, h, w, cond_map.shape[-1]), "nearest")
+        pad = self.kernel // 2
+        actv = nn.relu(nn.Conv(self.hidden, (self.kernel,) * 2,
+                               padding=((pad, pad), (pad, pad)), name="mlp_shared")(cm))
+        gamma = nn.Conv(self.features, (self.kernel,) * 2,
+                        padding=((pad, pad), (pad, pad)), name="mlp_gamma")(actv)
+        beta = nn.Conv(self.features, (self.kernel,) * 2,
+                       padding=((pad, pad), (pad, pad)), name="mlp_beta")(actv)
+        from rgie_tpu.models.munit import instance_norm
+
+        return instance_norm(x) * (1.0 + gamma) + beta
+
+
+class EqualizedDense(nn.Module):
+    """Equalized-learning-rate linear (weight_norm.py ScaledLR:76-227):
+    unit-variance init, He constant folded at runtime."""
+
+    features: int
+    lr_mul: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        w = self.param("kernel", nn.initializers.normal(1.0 / self.lr_mul),
+                       (in_dim, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        scale = (1.0 / jnp.sqrt(in_dim)) * self.lr_mul
+        return x @ (w * scale) + b * self.lr_mul

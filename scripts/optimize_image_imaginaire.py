@@ -94,8 +94,11 @@ def main():
         lambda m, i, e: P.make_evaluate(va_loss)(m, i[None], e[None]),
         in_axes=(None, 0, 0)))
 
-    adaptations = [(s.split(":")[0], float(s.split(":")[1]))
-                   for s in args.adaptations.split(",")]
+    adaptations = []
+    for spec in args.adaptations.split(","):
+        parts = spec.split(":")
+        a = (float(parts[1]), float(parts[1])) if len(parts) == 2 else (float(parts[1]), float(parts[2]))
+        adaptations.append((parts[0], a))
     dataset = CaptionFeedDataset(data_dir)
     stats = {}
 
@@ -106,7 +109,7 @@ def main():
         images = shard_batch(jnp.asarray(images_np), mesh)
         for name, alpha in adaptations:
             S.check_init_stats_adapt(stats, name)
-            alphas = jnp.full((images.shape[0], 2), alpha)
+            alphas = jnp.broadcast_to(jnp.asarray(alpha), (images.shape[0], 2))
             t0 = time.time()
             result, edited = jax.block_until_ready(edit(models, images, alphas))
             dt = time.time() - t0

@@ -81,10 +81,15 @@ def main():
         lambda m, i, e: P.make_evaluate(va_loss)(m, i[None], e[None]),
         in_axes=(None, 0, 0)))
 
+    # "name:a" applies a to both VA dims; "name:v:a" sets them separately
+    # (the valence x arousal target grid of BASELINE.json configs[4]).
     adaptations = []
     for spec in args.adaptations.split(","):
-        name, alpha = spec.split(":")
-        adaptations.append((name, float(alpha)))
+        parts = spec.split(":")
+        if len(parts) == 2:
+            adaptations.append((parts[0], (float(parts[1]), float(parts[1]))))
+        else:
+            adaptations.append((parts[0], (float(parts[1]), float(parts[2]))))
 
     dataset = CaptionFeedDataset(data_dir)
     stats = {}
@@ -119,10 +124,10 @@ def main():
         images = shard_batch(jnp.asarray(images_np), mesh)
         for name, alpha in adaptations:
             S.check_init_stats_adapt(stats, name)
-            alphas = jnp.full((images.shape[0], 2), alpha)
+            alphas = jnp.broadcast_to(jnp.asarray(alpha), (images.shape[0], 2))
             t0 = time.time()
             if gradient_free_edit is not None:
-                parts = [gradient_free_edit(images[b:b + 1], jnp.asarray([alpha, alpha]))
+                parts = [gradient_free_edit(images[b:b + 1], jnp.asarray(alpha))
                          for b in range(n_real)]
                 if n_real < images.shape[0]:
                     parts.append(images[n_real:])
