@@ -147,3 +147,29 @@ def iterate_batches(dataset, batch_size: int, input_size: int, crop_size: int,
             batch_imgs, batch_meta = [], []
     if batch_imgs:
         yield np.stack(batch_imgs), batch_meta
+
+
+def augment_image(image: np.ndarray, rng: np.random.Generator,
+                  resize_hw: Optional[Tuple[int, int]] = None,
+                  random_crop_hw: Optional[Tuple[int, int]] = None,
+                  horizontal_flip: bool = False) -> np.ndarray:
+    """Training-time augmentations matching the reference's pipelines: the
+    imaginaire Augmentor's resize/random-crop/hflip subset
+    (external/imaginaire/utils/data.py:28-437; imagenet2imagenet.yaml:109-115)
+    and torchvision's RandomCrop/RandomHorizontalFlip
+    (EmotionPredictionModel.get_emo_pred_random_transform:120-133)."""
+    from PIL import Image
+
+    if resize_hw is not None:
+        pil = Image.fromarray((np.clip(image, 0, 1) * 255).astype(np.uint8))
+        pil = pil.resize((resize_hw[1], resize_hw[0]), Image.BILINEAR)
+        image = np.asarray(pil, dtype=np.float32) / 255.0
+    if random_crop_hw is not None:
+        ch, cw = random_crop_hw
+        h, w = image.shape[:2]
+        top = int(rng.integers(0, max(1, h - ch + 1)))
+        left = int(rng.integers(0, max(1, w - cw + 1)))
+        image = image[top:top + ch, left:left + cw]
+    if horizontal_flip and rng.random() < 0.5:
+        image = image[:, ::-1]
+    return np.ascontiguousarray(image)

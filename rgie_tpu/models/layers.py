@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rgie_tpu.config import MunitGenConfig
-from rgie_tpu.models.munit import ConvBlock, ResBlock, nearest_upsample
+from rgie_tpu.models.munit import _ORTHO, ConvBlock, ResBlock, nearest_upsample
 
 
 class NonLocal2dBlock(nn.Module):
@@ -283,3 +283,69 @@ class EqualizedDense(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         scale = (1.0 / jnp.sqrt(in_dim)) * self.lr_mul
         return x @ (w * scale) + b * self.lr_mul
+
+
+class ConvNdBlock(nn.Module):
+    """Dimension-generic conv/norm/activation block covering the reference's
+    Conv1dBlock/Conv3dBlock (+ the 2D case ConvBlock already handles)
+    (conv.py:489-692). spatial_dims in {1, 2, 3}; reflect padding."""
+
+    features: int
+    kernel: int
+    spatial_dims: int = 2
+    stride: int = 1
+    pad: int = 0
+    norm: str = "none"          # none | instance
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        nd = self.spatial_dims
+        if self.pad:
+            pads = ((0, 0),) + ((self.pad, self.pad),) * nd + ((0, 0),)
+            x = jnp.pad(x, pads, mode="reflect")
+        x = nn.Conv(self.features, (self.kernel,) * nd, strides=(self.stride,) * nd,
+                    padding="VALID", kernel_init=_ORTHO, name="conv")(x)
+        if self.norm == "instance":
+            axes = tuple(range(1, 1 + nd))
+            mean = jnp.mean(x, axis=axes, keepdims=True)
+            var = jnp.var(x, axis=axes, keepdims=True)
+            x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+            scale = self.param("norm_scale", nn.initializers.ones, (self.features,))
+            bias = self.param("norm_bias", nn.initializers.zeros, (self.features,))
+            x = x * scale + bias
+        if self.activation == "relu":
+            x = nn.relu(x)
+        elif self.activation == "tanh":
+            x = jnp.tanh(x)
+        return x
+
+
+class ResNdBlock(nn.Module):
+    """Dimension-generic residual block (Res1dBlock/Res3dBlock,
+    residual.py:450-640)."""
+
+    features: int
+    spatial_dims: int = 2
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        dx = ConvNdBlock(self.features, 3, self.spatial_dims, 1, 1,
+                         norm=self.norm, activation="relu", name="conv_block_0")(x)
+        dx = ConvNdBlock(self.features, 3, self.spatial_dims, 1, 1,
+                         norm=self.norm, activation="none", name="conv_block_1")(dx)
+        return x + dx
+
+
+class EmbeddingBlock(nn.Module):
+    """Embedding + optional nonlinearity (conv.py:441-486)."""
+
+    num_embeddings: int
+    features: int
+    activation: str = "none"
+
+    @nn.compact
+    def __call__(self, ids):
+        x = nn.Embed(self.num_embeddings, self.features, name="embed")(ids)
+        return nn.relu(x) if self.activation == "relu" else x

@@ -83,3 +83,48 @@ def test_unit_autoencoder_round_trip(key, rng):
     assert out.shape == img.shape
     content = model.apply(vars_, img, method=L.UnitAutoEncoder.encode)
     assert content.shape == (1, 8, 8, 16)
+
+
+def test_convnd_blocks(key, rng):
+    x1 = jnp.asarray(rng.normal(size=(2, 16, 4)).astype(np.float32))
+    m1 = L.ConvNdBlock(8, 3, spatial_dims=1, pad=1, norm="instance")
+    v1 = m1.init(key, x1)
+    assert m1.apply(v1, x1).shape == (2, 16, 8)
+
+    x3 = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 2)).astype(np.float32))
+    m3 = L.ConvNdBlock(6, 3, spatial_dims=3, pad=1)
+    v3 = m3.init(key, x3)
+    assert m3.apply(v3, x3).shape == (1, 4, 4, 4, 6)
+
+    r1 = L.ResNdBlock(4, spatial_dims=1)
+    xr = jnp.asarray(rng.normal(size=(2, 16, 4)).astype(np.float32))
+    vr = r1.init(key, xr)
+    assert r1.apply(vr, xr).shape == xr.shape
+
+
+def test_embedding_block(key):
+    m = L.EmbeddingBlock(10, 6)
+    v = m.init(key, jnp.zeros((2, 3), jnp.int32))
+    out = m.apply(v, jnp.asarray([[1, 2, 3]]))
+    assert out.shape == (1, 3, 6)
+
+
+def test_spade_and_norms(key, rng):
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 6)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(1, 4, 4, 3)).astype(np.float32))
+    spade = L.SpatiallyAdaptiveNorm(6, hidden=8)
+    v = spade.init(key, x, cond)
+    assert spade.apply(v, x, cond).shape == x.shape
+
+    ln = L.LayerNorm2d()
+    vl = ln.init(key, x)
+    y = ln.apply(vl, x)
+    np.testing.assert_allclose(float(y.mean()), 0.0, atol=1e-5)
+
+    sn = L.ScaleNorm()
+    vs = sn.init(key, x)
+    assert sn.apply(vs, x).shape == x.shape
+
+    eq = L.EqualizedDense(5, lr_mul=0.5)
+    ve = eq.init(key, jnp.zeros((2, 7)))
+    assert eq.apply(ve, jnp.ones((2, 7))).shape == (2, 5)
