@@ -68,9 +68,18 @@ class VisionTransformer(nn.Module):
     def __call__(self, x):
         # x: (B, H, W, 3) already CLIP-normalized.
         b = x.shape[0]
-        x = nn.Conv(self.width, (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size),
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        # Patch embedding as reshape + matmul instead of a stride-P conv: the
+        # conv formulation's INPUT gradient lowered to a degenerate transposed
+        # conv with a pathological layout on v5e (~21ms/step in the edit
+        # loop); the matmul's gradient is just the transposed matmul. The
+        # kernel parameter keeps the conv's HWIO shape for checkpoint parity.
+        p = self.patch_size
+        gh, gw = x.shape[1] // p, x.shape[2] // p
+        kernel = self.param("conv1_kernel", nn.initializers.lecun_normal(),
+                            (p, p, x.shape[-1], self.width), self.dtype)
+        patches = x.reshape(b, gh, p, gw, p, x.shape[-1])
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, -1)
+        x = patches @ kernel.reshape(-1, self.width)
         x = x.reshape(b, -1, self.width)  # (B, grid*grid, width)
         cls = self.param("class_embedding", nn.initializers.normal(0.02),
                          (self.width,), self.dtype)

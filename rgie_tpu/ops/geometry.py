@@ -81,6 +81,14 @@ def warp_affine(image: jnp.ndarray, matrix: jnp.ndarray, padding_mode: str = "ze
     return jax.vmap(warp_one)(image, matrix)
 
 
+def _axis_interp_matrix(src_coords: jnp.ndarray, src_len: int) -> jnp.ndarray:
+    """Bilinear interpolation matrix M (out_len, src_len) with zeros padding:
+    M[i, j] = max(0, 1 - |src_coords[i] - j|). Exactly equals gather-based
+    bilinear sampling with 'zeros' out-of-bounds."""
+    taps = jnp.arange(src_len, dtype=src_coords.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src_coords[:, None] - taps[None, :]))
+
+
 def scale_about_center(image: jnp.ndarray, scale_xy: jnp.ndarray,
                        center_xy: jnp.ndarray = None) -> jnp.ndarray:
     """Zoom an NHWC batch by per-image (sx, sy) about (cx, cy) pixel centers.
@@ -88,17 +96,29 @@ def scale_about_center(image: jnp.ndarray, scale_xy: jnp.ndarray,
     Equivalent to kornia.geometry.transform.scale (zeros padding): the sampled
     source coord is c + (dst - c)/s (image_transformations.py:209-221). With
     s >= 1 (the chain clamps it) this is a zoom-in with no black margins.
+
+    TPU-first implementation: an axis-aligned zoom is SEPARABLE, so instead of
+    gather-based bilinear sampling (whose scatter gradients dominated the
+    whole edit step — 4 x 21ms/step at 256² b8 on v5e, 46% of total) it runs
+    as two small dense interpolation matmuls on the MXU; the gradient is the
+    transposed matmuls plus elementwise flow into the matrix entries.
     """
     def scale_one(img, s, c):
         h, w = img.shape[0], img.shape[1]
         if c is None:
             c = jnp.array([(w - 1) / 2.0, (h - 1) / 2.0], dtype=img.dtype)
-        xx, yy = _dst_grid(h, w, img.dtype)
         sx_safe = jnp.where(jnp.abs(s[0]) < 1e-12, 1e-12, s[0])
         sy_safe = jnp.where(jnp.abs(s[1]) < 1e-12, 1e-12, s[1])
-        src_x = c[0] + (xx - c[0]) / sx_safe
-        src_y = c[1] + (yy - c[1]) / sy_safe
-        return bilinear_sample(img, src_x, src_y, "zeros")
+        ys = jnp.arange(h, dtype=img.dtype)
+        xs = jnp.arange(w, dtype=img.dtype)
+        src_y = c[1] + (ys - c[1]) / sy_safe
+        src_x = c[0] + (xs - c[0]) / sx_safe
+        row_m = _axis_interp_matrix(src_y, h)   # (H, H)
+        col_m = _axis_interp_matrix(src_x, w)   # (W, W)
+        tmp = jnp.einsum("oi,iwc->owc", row_m, img,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("pj,ojc->opc", col_m, tmp,
+                          precision=jax.lax.Precision.HIGHEST)
 
     if center_xy is None:
         return jax.vmap(lambda i, s: scale_one(i, s, None))(image, scale_xy)

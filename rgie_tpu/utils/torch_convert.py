@@ -117,7 +117,7 @@ def convert_clip_visual(state_dict: Mapping[str, Any], layers: int = 12,
     sd = {k[len("visual."):] if k.startswith("visual.") else k: v
           for k, v in state_dict.items()}
     p: Dict[str, Any] = {
-        "conv1": {"kernel": conv_kernel(sd["conv1.weight"])},
+        "conv1_kernel": conv_kernel(sd["conv1.weight"]),
         "class_embedding": _np(sd["class_embedding"]),
         "positional_embedding": _np(sd["positional_embedding"]),
         "ln_pre": {"scale": _np(sd["ln_pre.weight"]), "bias": _np(sd["ln_pre.bias"])},

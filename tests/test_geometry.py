@@ -84,3 +84,26 @@ def test_scale_gradients(rng):
 
     g = jax.grad(f)(1.5)
     assert np.isfinite(float(g))
+
+
+def test_scale_matmul_matches_gather(rng):
+    """The separable-matmul zoom == gather-based bilinear sampling (zeros)."""
+    im = jnp.asarray(rng.uniform(0, 1, (2, 17, 23, 3)).astype(np.float32))
+
+    def gather_scale(img, s, c):
+        h, w = img.shape[0], img.shape[1]
+        ys = jnp.arange(h, dtype=img.dtype)
+        xs = jnp.arange(w, dtype=img.dtype)
+        xx, yy = jnp.meshgrid(xs, ys)
+        src_x = c[0] + (xx - c[0]) / s[0]
+        src_y = c[1] + (yy - c[1]) / s[1]
+        return G.bilinear_sample(img, src_x, src_y, "zeros")
+
+    for s, c in [((1.7, 1.3), (5.0, 8.0)), ((1.0, 1.0), (11.0, 8.5)),
+                 ((0.6, 2.0), (0.0, 0.0))]:
+        expect = np.stack([np.asarray(gather_scale(im[b], jnp.asarray(s), jnp.asarray(c)))
+                           for b in range(2)])
+        got = np.asarray(G.scale_about_center(
+            im, jnp.broadcast_to(jnp.asarray(s), (2, 2)),
+            jnp.broadcast_to(jnp.asarray(c), (2, 2))))
+        np.testing.assert_allclose(got, expect, atol=2e-5)
