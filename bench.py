@@ -66,16 +66,22 @@ def main():
     images = jax.random.uniform(k3, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3))
     alphas = jnp.full((BATCH, 2), 0.1)
 
+    def run_once():
+        result, edited = edit(models, images, alphas)
+        # Force FULL materialization: block_until_ready proved optimistic on
+        # tunneled PJRT backends; a host reduction cannot lie.
+        return float(jnp.sum(edited)) + float(jnp.sum(result.best_loss))
+
     # Warmup (compile)
     t0 = time.time()
-    result, edited = jax.block_until_ready(edit(models, images, alphas))
+    run_once()
     compile_s = time.time() - t0
 
     # Steady state
     runs = 3
     t0 = time.time()
     for _ in range(runs):
-        result, edited = jax.block_until_ready(edit(models, images, alphas))
+        run_once()
     elapsed = (time.time() - t0) / runs
 
     n_chips = jax.device_count()
