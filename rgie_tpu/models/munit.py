@@ -86,6 +86,7 @@ class ConvBlock(nn.Module):
     order: str = "CNA"
     norm: str = "none"
     activation: str = "relu"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, style: Optional[jnp.ndarray] = None):
@@ -93,7 +94,7 @@ class ConvBlock(nn.Module):
             h = _reflect_pad(h, self.pad)
             return nn.Conv(self.features, (self.kernel, self.kernel),
                            strides=(self.stride, self.stride), padding="VALID",
-                           kernel_init=_ORTHO, name="conv")(h)
+                           kernel_init=_ORTHO, dtype=self.dtype, name="conv")(h)
 
         def norm(h):
             if self.norm == "instance":
@@ -123,13 +124,16 @@ class ResBlock(nn.Module):
     features: int
     order: str = "NACNAC"
     norm: str = "instance"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, style: Optional[jnp.ndarray] = None):
         dx = ConvBlock(self.features, 3, 1, 1, order=self.order[0:3],
-                       norm=self.norm, activation="relu", name="conv_block_0")(x, style)
+                       norm=self.norm, activation="relu", dtype=self.dtype,
+                       name="conv_block_0")(x, style)
         dx = ConvBlock(self.features, 3, 1, 1, order=self.order[3:6],
-                       norm=self.norm, activation="relu", name="conv_block_1")(dx, style)
+                       norm=self.norm, activation="relu", dtype=self.dtype,
+                       name="conv_block_1")(dx, style)
         return x + dx
 
 
@@ -137,16 +141,19 @@ class StyleEncoder(nn.Module):
     """(B, H, W, 3) -> (B, latent_dim) style code (munit.py:294-339)."""
 
     cfg: MunitGenConfig
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         nf = self.cfg.num_filters
-        x = ConvBlock(nf, 7, 1, 3, activation="relu", name="layer_0")(x)
+        x = ConvBlock(nf, 7, 1, 3, activation="relu", dtype=self.dtype, name="layer_0")(x)
         for i in range(2):
-            x = ConvBlock(nf * 2, 4, 2, 1, activation="relu", name=f"layer_{i + 1}")(x)
+            x = ConvBlock(nf * 2, 4, 2, 1, activation="relu", dtype=self.dtype,
+                          name=f"layer_{i + 1}")(x)
             nf *= 2
         for i in range(self.cfg.num_downsamples_style - 2):
-            x = ConvBlock(nf, 4, 2, 1, activation="relu", name=f"layer_{i + 3}")(x)
+            x = ConvBlock(nf, 4, 2, 1, activation="relu", dtype=self.dtype,
+                          name=f"layer_{i + 3}")(x)
         x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
         x = nn.Dense(self.cfg.latent_dim, kernel_init=_ORTHO, name="fc")(x)  # 1x1 conv
         return x
@@ -156,19 +163,22 @@ class ContentEncoder(nn.Module):
     """(B, H, W, 3) -> (B, H/2^d, W/2^d, C) content code (unit.py:166-238)."""
 
     cfg: MunitGenConfig
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
         order = "NACNAC" if cfg.pre_act else "CNACNA"
         nf = cfg.num_filters
-        x = ConvBlock(nf, 7, 1, 3, norm="instance", activation="relu", name="layer_0")(x)
+        x = ConvBlock(nf, 7, 1, 3, norm="instance", activation="relu",
+                      dtype=self.dtype, name="layer_0")(x)
         for i in range(cfg.num_downsamples_content):
             nf = min(nf * 2, cfg.max_num_filters)
             x = ConvBlock(nf, 4, 2, 1, norm="instance", activation="relu",
-                          name=f"layer_{i + 1}")(x)
+                          dtype=self.dtype, name=f"layer_{i + 1}")(x)
         for i in range(cfg.num_res_blocks):
-            x = ResBlock(nf, order=order, norm="instance", name=f"res_{i}")(x)
+            x = ResBlock(nf, order=order, norm="instance", dtype=self.dtype,
+                         name=f"res_{i}")(x)
         return x
 
     @property
@@ -204,6 +214,7 @@ class Decoder(nn.Module):
 
     cfg: MunitGenConfig
     content_dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, content, style_vec):
@@ -212,15 +223,16 @@ class Decoder(nn.Module):
         x = content
         for i in range(cfg.num_res_blocks):
             x = ResBlock(self.content_dim, order=order, norm="adaptive",
-                         name=f"res_{i}")(x, style_vec)
+                         dtype=self.dtype, name=f"res_{i}")(x, style_vec)
         nf = self.content_dim
         for i in range(cfg.num_downsamples_content):
             x = nearest_upsample(x, 2)
             x = ConvBlock(nf // 2, 5, 1, 2, norm="adaptive", activation="relu",
-                          name=f"up_{i}")(x, style_vec)
+                          dtype=self.dtype, name=f"up_{i}")(x, style_vec)
             nf //= 2
+        # Output conv stays f32 (image-range output under mixed precision).
         x = ConvBlock(cfg.num_image_channels, 7, 1, 3, norm="none",
-                      activation="none", name="out")(x)
+                      activation="none", dtype=jnp.float32, name="out")(x)
         return x
 
 
@@ -230,13 +242,14 @@ class AutoEncoder(nn.Module):
     squeezed)."""
 
     cfg: MunitGenConfig = MunitGenConfig()
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.style_encoder = StyleEncoder(self.cfg)
-        self.content_encoder = ContentEncoder(self.cfg)
+        self.style_encoder = StyleEncoder(self.cfg, self.dtype)
+        self.content_encoder = ContentEncoder(self.cfg, self.dtype)
         content_dim = min(self.cfg.num_filters * 2 ** self.cfg.num_downsamples_content,
                           self.cfg.max_num_filters)
-        self.decoder = Decoder(self.cfg, content_dim)
+        self.decoder = Decoder(self.cfg, content_dim, self.dtype)
         self.mlp = StyleMLP(self.cfg)
 
     def encode(self, images):
@@ -258,9 +271,10 @@ class MunitGenerator:
     variables_a: Any
     variables_b: Any
     cfg: MunitGenConfig = MunitGenConfig()
+    dtype: Any = jnp.float32
 
     def _model(self) -> AutoEncoder:
-        return AutoEncoder(self.cfg)
+        return AutoEncoder(self.cfg, self.dtype)
 
     def encode_a(self, images):
         return self._model().apply(self.variables_a, images, method=AutoEncoder.encode)
@@ -278,12 +292,12 @@ class MunitGenerator:
 
 
 def create_generator(key: jax.Array, cfg: MunitGenConfig = MunitGenConfig(),
-                     image_size: int = 64) -> MunitGenerator:
+                     image_size: int = 64, dtype=jnp.float32) -> MunitGenerator:
     """Random-weight generator (the real `imaginaire_munit_200000_s5.pt`
     checkpoint converts via rgie_tpu.utils.torch_convert)."""
-    model = AutoEncoder(cfg)
+    model = AutoEncoder(cfg, dtype)
     ka, kb = jax.random.split(key)
     dummy = jnp.zeros((1, image_size, image_size, cfg.num_image_channels))
     va = model.init(ka, dummy)
     vb = model.init(kb, dummy)
-    return MunitGenerator(variables_a=va, variables_b=vb, cfg=cfg)
+    return MunitGenerator(variables_a=va, variables_b=vb, cfg=cfg, dtype=dtype)
