@@ -264,3 +264,50 @@ def test_pipeline_dpm_sampling(key, rng):
     assert pivots.shape[0] == 5
     out = pipe.sample(params, noisy, embeds, guidance_scale=1.0)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.slow
+def test_adapter_orchestration(tmp_path, key, rng):
+    """ImageAdapter end-to-end on the tiny pipeline: score -> invert -> NTO ->
+    guided sample -> save -> rescore (the adapt_images.py flow)."""
+    from PIL import Image
+
+    from rgie_tpu.adapt import ImageAdapter, ImageScorer, OutputImageManager
+    from rgie_tpu.config import GuidanceConfig
+    from rgie_tpu.diffusion import schedulers as SCH
+    from rgie_tpu.diffusion.pipeline import InversionResamplingPipeline, PipelineParams
+    from rgie_tpu.diffusion.text_encoder import TextTowerConfig, create_sd_prompt_encoder
+    from rgie_tpu.diffusion.unet import UNetConfig, create_unet
+    from rgie_tpu.diffusion.vae import VaeConfig, create_vae
+    from rgie_tpu.models.midu import MiduSD
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    unet, unet_vars = create_unet(k1, UNetConfig.tiny(), sample_hw=16, context_len=77)
+    vae, vae_vars = create_vae(k2, VaeConfig.tiny(), image_hw=32)
+    midu = MiduSD(2)
+    midu_vars = midu.init(k3, jnp.zeros((1, 8, 8, 16)))
+    prompt_enc = create_sd_prompt_encoder(k4, TextTowerConfig.tiny())
+
+    sched = SCH.make_schedule(3)
+    pipe = InversionResamplingPipeline(unet=unet, vae=vae, sched=sched,
+                                       midu_model=midu)
+    params = PipelineParams(unet=unet_vars, vae=vae_vars, midu=midu_vars)
+    embeds_fn = lambda p, n: prompt_enc.encode_sd(p, n, do_cfg=False)
+    cfg_embeds_fn = lambda p, n: prompt_enc.encode_sd(p, n, do_cfg=True)
+
+    scorer = ImageScorer(pipe=pipe, params=params, embeds_fn=embeds_fn)
+    manager = OutputImageManager(scorer=scorer, output_path=str(tmp_path))
+    adapter = ImageAdapter(pipe=pipe, params=params, scorer=scorer,
+                           embeds_fn=embeds_fn, cfg_embeds_fn=cfg_embeds_fn,
+                           input_size=32)
+
+    img_path = str(tmp_path / "img.jpg")
+    Image.fromarray((rng.uniform(0, 1, (40, 48, 3)) * 255).astype(np.uint8)).save(img_path)
+    gcfg = GuidanceConfig(clf_scale=0.2, cfg_scale=2.0, is_nto=True,
+                          reference_value=0.1)
+    outputs = adapter.adapt(img_path, gcfg, manager, end_iteration=3,
+                            caption="a test image")
+    label = gcfg.resolved_label()
+    assert label in outputs
+    assert (tmp_path / label / "img.jpg").exists()
+    assert np.all(np.isfinite(np.asarray(outputs[label])))
