@@ -82,6 +82,9 @@ def main():
     ap.add_argument("--compare-emotions", action="store_true")
     ap.add_argument("--va-model", default=None)
     ap.add_argument("--one-batch", action="store_true")
+    ap.add_argument("--check-individual", action="store_true",
+                    help="apply each op separately and save per-op outputs "
+                         "(the reference's is_ind_func_check, run_img_trans.py:27)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -126,6 +129,14 @@ def main():
     for images_np, metas in iterate_batches(dataset, args.batch, args.input_size,
                                             args.crop_size, limit=args.limit):
         images = jnp.asarray(images_np)
+        if args.check_individual:
+            # per-op visual spot checks (reference: is_ind_func_check)
+            from rgie_tpu.ops.chain import DEFAULT_TRANSFORMS
+
+            for op in DEFAULT_TRANSFORMS:
+                single = jax.jit(lambda im, op=op: CH.apply_filter_chain(im, params, (op,)))(images)
+                arr = np.clip(np.asarray(single[0]) * 255, 0, 255).astype(np.uint8)
+                Image.fromarray(arr).save(os.path.join(args.output_dir, f"check_{op}.jpg"))
         adapted = apply_jit(images)
         if evaluate is not None:
             from rgie_tpu.engine import parametric as P
