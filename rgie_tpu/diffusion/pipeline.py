@@ -82,7 +82,10 @@ class InversionResamplingPipeline:
         to [-1,1] via the diffusers image processor
         (...StableDiffusionPipeline.py:147-150)."""
         x = image * 2.0 - 1.0
-        return self.vae.apply(params.vae, x, key, method=AutoencoderKL.encode)
+        lat = self.vae.apply(params.vae, x, key, method=AutoencoderKL.encode)
+        # Scheduler math runs in f32 regardless of the VAE compute dtype (the
+        # scan carries and DDIM alphas stay f32; the UNet casts internally).
+        return lat.astype(jnp.float32)
 
     def decode_latents(self, params: PipelineParams, latents: jnp.ndarray) -> jnp.ndarray:
         """latents -> images in [0,1] (diff_utils.decode_latents:109-119)."""
@@ -148,8 +151,16 @@ class InversionResamplingPipeline:
         do_clf = self.midu_model is not None and guidance_clf_scale > 0.0
         steps = jnp.arange(start_iteration, start_iteration + ts.shape[0])
 
+        # Classifier guidance runs single-latent UNet passes with the UNCOND
+        # conditioning row (the reference uses prompt_embeds[0],
+        # ...StableDiffusionPipeline.py:130).
+        added_uncond = None
+        if added is not None:
+            added_uncond = SdxlCond(text_embeds=added.text_embeds[0:1],
+                                    time_ids=added.time_ids[0:1])
+
         def clf_score(lat, t, uncond):
-            _, mid = self._unet(params.unet, lat, t, uncond, added)
+            _, mid = self._unet(params.unet, lat, t, uncond, added_uncond)
             clf = ValenceArousalMidu(model=self.midu_model, variables=params.midu,
                                      is_minimized=midu_is_minimized,
                                      reference_value=midu_reference_value)
@@ -172,7 +183,11 @@ class InversionResamplingPipeline:
                 if guidance_rescale > 0.0:
                     eps = rescale_noise_cfg(eps, eps_c, guidance_rescale)
             else:
-                eps, _ = self._unet(params.unet, lat, t, prompt_embeds, added)
+                added_cond = None
+                if added is not None:
+                    added_cond = SdxlCond(text_embeds=added.text_embeds[-1:],
+                                          time_ids=added.time_ids[-1:])
+                eps, _ = self._unet(params.unet, lat, t, prompt_embeds, added_cond)
 
             if self.scheduler_type == "dpm":
                 lat, dpm_state = SCH.dpm_step(self.sched, eps, t, t_next, lat, dpm_state)

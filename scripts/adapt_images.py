@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--use-caption", action="store_true", default=True)
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--input-size", type=int, default=None)
+    ap.add_argument("--dtype", choices=("float32", "bfloat16"), default=None,
+                    help="weights/compute dtype (default: bf16 for sd/sdxl "
+                         "scales -- SDXL f32 params alone exceed v5e HBM)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -72,9 +75,29 @@ def main():
         tower_cfg = TextTowerConfig.clip_vit_l()
         is_xl = True
 
+    dtype_name = args.dtype or ("float32" if args.scale == "tiny" else "bfloat16")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
     latent_hw = input_size // (2 ** (len(vae_cfg.block_out_channels) - 1))
-    unet, unet_vars = create_unet(k1, unet_cfg, sample_hw=latent_hw, context_len=77)
-    vae, vae_vars = create_vae(k2, vae_cfg, image_hw=input_size)
+    if args.scale == "tiny":
+        unet, unet_vars = create_unet(k1, unet_cfg, sample_hw=latent_hw, context_len=77)
+        vae, vae_vars = create_vae(k2, vae_cfg, image_hw=input_size)
+    else:
+        # Big models: initialize on the host CPU backend, cast to the compute
+        # dtype, then transfer -- SDXL's 2.6B f32 params can't even INIT in
+        # 16GB HBM. (The reference loads fp16 weights from disk instead,
+        # InversionResamplingStableDiffusionXLPipeline.py:19.)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            unet, unet_vars = create_unet(k1, unet_cfg, sample_hw=latent_hw,
+                                          context_len=77, dtype=dtype)
+            vae, vae_vars = create_vae(k2, vae_cfg, image_hw=input_size, dtype=dtype)
+        accel = jax.devices()[0]
+        cast = lambda t: jax.tree.map(
+            lambda a: jax.device_put(a.astype(dtype) if a.dtype == jnp.float32 else a,
+                                     accel), t)
+        unet_vars = cast(unet_vars)
+        vae_vars = cast(vae_vars)
     mid_ch = unet_cfg.block_out_channels[-1]
     midu = MiduSDXL(2) if is_xl else MiduSD(2)
     mid_hw = latent_hw // (2 ** (len(unet_cfg.block_out_channels) - 1))
