@@ -187,3 +187,21 @@ def test_image_comparison_headless(tmp_path, rng):
                               annotation="test")
     img = Image.open(out2)
     assert min(img.size) == 32
+
+
+def test_orbax_checkpoint_round_trip(tmp_path, key):
+    import jax.numpy as jnp
+
+    from rgie_tpu.utils.checkpoint import (BestCheckpointer, load_checkpoint,
+                                           save_checkpoint)
+
+    tree = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(3)}
+    path = save_checkpoint(str(tmp_path / "ck"), tree)
+    restored = load_checkpoint(path, tree)
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.asarray(tree["w"]))
+
+    bc = BestCheckpointer(str(tmp_path / "best"))
+    assert bc.maybe_save(1.0, tree, step=1)
+    assert not bc.maybe_save(2.0, tree, step=2)
+    assert bc.maybe_save(0.5, tree, step=3)
+    assert bc.best_loss == 0.5
