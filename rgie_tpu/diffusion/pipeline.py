@@ -62,17 +62,34 @@ class InversionResamplingPipeline:
     normalize_gradient: bool = True   # AdaptConfig.normalize_gradient
     is_xl: bool = False
     scheduler_type: str = "ddim"      # "ddim" | "dpm" (AdaptConfig.scheduler_type)
+    # Rematerialize UNet activations on the two differentiated paths (NTO inner
+    # loss, classifier guidance): trades one extra forward for ~the UNet's
+    # activation footprint, which is what gates the batch size of the batched
+    # edit (SURVEY §7.3 memory cliff).
+    remat_unet: bool = False
 
     # -- UNet call helper ---------------------------------------------------
 
     def _unet(self, params, latents, t, embeds, added: Optional[SdxlCond]):
-        kwargs = {}
         if self.is_xl and added is not None:
             b = latents.shape[0]
-            kwargs = dict(
-                added_text_embeds=jnp.broadcast_to(added.text_embeds, (b,) + added.text_embeds.shape[1:]),
-                added_time_ids=jnp.broadcast_to(added.time_ids, (b, 6)))
-        return self.unet.apply(params, latents, t, embeds, **kwargs)
+            a_text = jnp.broadcast_to(added.text_embeds, (b,) + added.text_embeds.shape[1:])
+            a_time = jnp.broadcast_to(added.time_ids, (b, 6))
+
+            def call(p, lat, tt, e, at, ai):
+                return self.unet.apply(p, lat, tt, e, added_text_embeds=at,
+                                       added_time_ids=ai)
+
+            if self.remat_unet:
+                call = jax.checkpoint(call)
+            return call(params, latents, t, embeds, a_text, a_time)
+
+        def call(p, lat, tt, e):
+            return self.unet.apply(p, lat, tt, e)
+
+        if self.remat_unet:
+            call = jax.checkpoint(call)
+        return call(params, latents, t, embeds)
 
     # -- VAE transport (get_latents_from_img / decode_to_pil analogs) -------
 

@@ -28,6 +28,7 @@ from rgie_tpu.models.munit import MunitGenerator
 class GanEditModels(NamedTuple):
     generator: Any   # flax variables of autoencoder_a
     regressor: Any   # flax variables of the VA ResNet-50
+    dis: Optional[Any] = None  # flax variables of the MUNIT discriminator_a
 
 
 class GanEditContext(NamedTuple):
@@ -35,9 +36,11 @@ class GanEditContext(NamedTuple):
     target: jnp.ndarray     # (1, D) VA target
 
 
-def models_of(gen: MunitGenerator, va_loss: ValenceArousalLoss) -> GanEditModels:
+def models_of(gen: MunitGenerator, va_loss: ValenceArousalLoss,
+              dis_variables: Optional[Any] = None) -> GanEditModels:
     return GanEditModels(generator=gen.variables_a,
-                         regressor=va_loss.regressor.variables)
+                         regressor=va_loss.regressor.variables,
+                         dis=dis_variables)
 
 
 def _bind(gen: MunitGenerator, va_loss: ValenceArousalLoss, models: GanEditModels):
@@ -48,11 +51,18 @@ def _bind(gen: MunitGenerator, va_loss: ValenceArousalLoss, models: GanEditModel
     return g, va
 
 
-def make_objective(gen: MunitGenerator, va_loss: ValenceArousalLoss, cfg: GanEditConfig):
+def make_objective(gen: MunitGenerator, va_loss: ValenceArousalLoss, cfg: GanEditConfig,
+                   dis_model: Optional[Any] = None):
     """objective(style, ctx, models) (reference: objective_function_imaginaire,
     optimize_image_imaginaire.py:120-145): clf loss on the clamped decode plus
-    L1 content reconstruction; the optional hinge-discriminator term
-    (weight_dis=0 in the shipped config) is handled by the caller."""
+    L1 content reconstruction, plus — when ``weight_dis > 0`` and a
+    discriminator is supplied — the reference's exact hinge term
+    ``relu(-gan_loss(dis(img), real, gen-update))`` (:132-137). With the hinge
+    generator loss being -mean(logits), the term resolves to
+    relu(mean(logits)); we reproduce the formula as written (the reference's
+    comment describes the opposite sign, but weight_dis defaults to 0 in the
+    shipped config either way)."""
+    use_dis = dis_model is not None and cfg.weight_dis > 0
 
     def objective(style: jnp.ndarray, ctx: GanEditContext,
                   models: GanEditModels) -> jnp.ndarray:
@@ -60,6 +70,12 @@ def make_objective(gen: MunitGenerator, va_loss: ValenceArousalLoss, cfg: GanEdi
         img = g.decode_a(ctx.content, style[None])
         img = jnp.clip(img, -1.0, 1.0)
         loss = cfg.weight_clf * va(img, target=ctx.target)
+        if use_dis:
+            from rgie_tpu.losses.gan import gan_loss
+
+            outs, _, _ = dis_model.apply(models.dis, img)
+            dis_loss = gan_loss(outs, True, gan_mode="hinge", dis_update=False)
+            loss = loss + cfg.weight_dis * jax.nn.relu(-dis_loss)
         if cfg.weight_recon > 0:
             content_new, _ = g.encode_a(img)
             loss = loss + cfg.weight_recon * jnp.mean(jnp.abs(content_new - ctx.content))
@@ -68,9 +84,10 @@ def make_objective(gen: MunitGenerator, va_loss: ValenceArousalLoss, cfg: GanEdi
     return objective
 
 
-def make_single_edit(gen: MunitGenerator, va_loss: ValenceArousalLoss, cfg: GanEditConfig):
+def make_single_edit(gen: MunitGenerator, va_loss: ValenceArousalLoss, cfg: GanEditConfig,
+                     dis_model: Optional[Any] = None):
     """edit(models, image, alpha) -> (OptResult, edited). image (1,H,W,3) in [-1,1]."""
-    objective = make_objective(gen, va_loss, cfg)
+    objective = make_objective(gen, va_loss, cfg, dis_model)
 
     def edit(models: GanEditModels, image: jnp.ndarray,
              alpha: jnp.ndarray) -> Tuple[OptResult, jnp.ndarray]:
@@ -88,8 +105,9 @@ def make_single_edit(gen: MunitGenerator, va_loss: ValenceArousalLoss, cfg: GanE
     return edit
 
 
-def make_batched_edit(gen: MunitGenerator, va_loss: ValenceArousalLoss, cfg: GanEditConfig):
-    edit = make_single_edit(gen, va_loss, cfg)
+def make_batched_edit(gen: MunitGenerator, va_loss: ValenceArousalLoss, cfg: GanEditConfig,
+                      dis_model: Optional[Any] = None):
+    edit = make_single_edit(gen, va_loss, cfg, dis_model)
 
     def edit_one(models, image, alpha):
         result, edited = edit(models, image[None], alpha)

@@ -32,6 +32,7 @@ class EditModels(NamedTuple):
 
     regressor: Any                 # flax variables of the VA ResNet-50
     clip: Optional[Any] = None     # flax variables of the CLIP image tower
+    dis: Optional[Any] = None      # flax variables of the pixel discriminator
 
 
 class EditContext(NamedTuple):
@@ -43,9 +44,29 @@ class EditContext(NamedTuple):
 
 
 def models_of(va_loss: ValenceArousalLoss,
-              clip_encoder: Optional[ClipImageEncoder]) -> EditModels:
+              clip_encoder: Optional[ClipImageEncoder],
+              dis_variables: Optional[Any] = None) -> EditModels:
     return EditModels(regressor=va_loss.regressor.variables,
-                      clip=clip_encoder.variables if clip_encoder is not None else None)
+                      clip=clip_encoder.variables if clip_encoder is not None else None,
+                      dis=dis_variables)
+
+
+def discriminator_realism_loss(dis_model: Any, dis_variables: Any,
+                               edited: jnp.ndarray) -> jnp.ndarray:
+    """BCE(dis(edited), real) — the NetWithCriterion term (reference:
+    optimize_image_param.py:315-330, label=1.0, nn.BCELoss on the sigmoid
+    multi-scale prediction).
+
+    Divergence from the reference (documented per SURVEY §2.4 policy): the
+    reference computes ``loss -= weight_dis * dis(image)`` on the UNEDITED
+    input (objective_function_parametric:245-247) — a constant w.r.t. the
+    optimized vector (zero gradient) with an inverted sign. The evident intent
+    of NetWithCriterion(label=1.0) is a realism regularizer on the edit, so we
+    score the EDITED image and ADD the BCE-to-real term.
+    """
+    p = dis_model.apply(dis_variables, edited)
+    # torch nn.BCELoss clamps log terms at -100 (p in (0,1) from the sigmoid).
+    return -jnp.mean(jnp.maximum(jnp.log(p), -100.0))
 
 
 def _bind(va_loss: ValenceArousalLoss, clip_encoder: Optional[ClipImageEncoder],
@@ -61,14 +82,20 @@ def _bind(va_loss: ValenceArousalLoss, clip_encoder: Optional[ClipImageEncoder],
 
 
 def make_objective(va_loss: ValenceArousalLoss, clip_encoder: Optional[ClipImageEncoder],
-                   cfg: ParamEditConfig):
+                   cfg: ParamEditConfig, dis_model: Optional[Any] = None):
     """objective(x, ctx, models) -> scalar loss
-    (reference: objective_function_parametric, optimize_image_param.py:237-259)."""
+    (reference: objective_function_parametric, optimize_image_param.py:237-259;
+    the weight_dis > 0 realism term via NetWithCriterion, :315-330 — see
+    discriminator_realism_loss for the documented divergence)."""
+    use_dis = dis_model is not None and cfg.weight_dis > 0
 
     def objective(x: jnp.ndarray, ctx: EditContext, models: EditModels) -> jnp.ndarray:
         va, enc = _bind(va_loss, clip_encoder, models)
         out = CH.edit_image(ctx.image, x, input_size=cfg.crop_size, order=cfg.transforms)
         loss = cfg.weight_clf * va(out, target=ctx.target)
+        if use_dis:
+            loss = loss + cfg.weight_dis * discriminator_realism_loss(
+                dis_model, models.dis, out)
         if enc is not None and cfg.weight_recon > 0:
             loss = loss + cfg.weight_recon * clip_loss(enc, ctx.clip_features, out)
         return loss
@@ -77,10 +104,10 @@ def make_objective(va_loss: ValenceArousalLoss, clip_encoder: Optional[ClipImage
 
 
 def make_single_edit(va_loss: ValenceArousalLoss, clip_encoder: Optional[ClipImageEncoder],
-                     cfg: ParamEditConfig):
+                     cfg: ParamEditConfig, dis_model: Optional[Any] = None):
     """Returns edit(models, image, alpha) -> (OptResult, edited_image). Jittable;
     ``models`` is the EditModels weight pytree."""
-    objective = make_objective(va_loss, clip_encoder, cfg)
+    objective = make_objective(va_loss, clip_encoder, cfg, dis_model)
 
     def edit(models: EditModels, image: jnp.ndarray,
              alpha: jnp.ndarray) -> Tuple[OptResult, jnp.ndarray]:
@@ -103,14 +130,14 @@ def make_single_edit(va_loss: ValenceArousalLoss, clip_encoder: Optional[ClipIma
 
 
 def make_batched_edit(va_loss: ValenceArousalLoss, clip_encoder: Optional[ClipImageEncoder],
-                      cfg: ParamEditConfig):
+                      cfg: ParamEditConfig, dis_model: Optional[Any] = None):
     """vmap the single edit over a leading batch axis: (B, H, W, 3), (B, D);
     weights are broadcast (in_axes=None).
 
     Each image is edited independently (the reference loops bs=1 on one GPU —
     adapt_images.py:68); here all B edits run in lockstep on-device and the
     batch axis shards across the mesh."""
-    edit = make_single_edit(va_loss, clip_encoder, cfg)
+    edit = make_single_edit(va_loss, clip_encoder, cfg, dis_model)
 
     def edit_one(models, image, alpha):
         result, edited = edit(models, image[None], alpha)

@@ -36,10 +36,31 @@ def avg_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
     return summed / 9.0
 
 
+def _linear_matrix_align_corners(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_out, n_in) interpolation matrix for align_corners=True bilinear."""
+    if n_out == 1:
+        m = jnp.zeros((1, n_in))
+        return m.at[0, 0].set(1.0)
+    coords = jnp.linspace(0.0, n_in - 1.0, n_out)
+    lo = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, n_in - 1)
+    hi = jnp.minimum(lo + 1, n_in - 1)
+    frac = coords - lo
+    rows = jnp.arange(n_out)
+    m = jnp.zeros((n_out, n_in))
+    m = m.at[rows, lo].add(1.0 - frac)
+    return m.at[rows, hi].add(frac)
+
+
 def bilinear_half(x: jnp.ndarray) -> jnp.ndarray:
-    """F.interpolate(scale_factor=0.5, bilinear, align_corners=True)."""
+    """F.interpolate(scale_factor=0.5, bilinear, align_corners=True) — torch
+    parity (multires_patch.py:169-171), expressed as two matmuls so the resize
+    rides the MXU instead of gather lanes (jax.image.resize uses half-pixel
+    centers, which is the WRONG convention here)."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h // 2, w // 2, c), method="linear")
+    my = _linear_matrix_align_corners(h, h // 2).astype(x.dtype)
+    mx = _linear_matrix_align_corners(w, w // 2).astype(x.dtype)
+    out = jnp.einsum("oh,bhwc->bowc", my, x)
+    return jnp.einsum("pw,bowc->bopc", mx, out)
 
 
 class PixelDiscriminator(nn.Module):

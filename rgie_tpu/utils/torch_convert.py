@@ -322,6 +322,75 @@ def convert_midu(state_dict: Mapping[str, Any], is_sdxl: bool = False) -> Dict[s
     return {"params": p}
 
 
+# ---------------------------------------------------------------------------
+# Discriminators (pixel-space multi-scale + imaginaire multires patch)
+# ---------------------------------------------------------------------------
+
+
+def convert_pixel_discriminator(state_dict: Mapping[str, Any],
+                                size_w: int = 480, size_h: int = 480,
+                                n_scale: int = 3) -> Dict[str, Any]:
+    """Pixel discriminator checkpoint (`imagenet_w0_high_lookhere_dis`) ->
+    rgie_tpu.models.discriminators.PixelDiscriminator params.
+
+    torch naming (reference: src/baselines/models/Discriminator.py:38-68):
+    convs at ``modules_features.{s}.{i}.1`` (each layer is
+    Sequential(ReflectionPad, Conv2d, LeakyReLU)); the per-scale MLP at
+    ``modules_logs.{s}.{1,3}`` (Flatten, Linear, LeakyReLU, Linear). The first
+    Linear consumes torch's channel-major flatten of the final NCHW conv map;
+    our NHWC flatten is (H, W, C)-major, so its input rows are permuted."""
+    if (size_w in (620, 480)) and size_h == 480:
+        n_dis = 6
+    elif (size_w in (160, 120)) and size_h == 120:
+        n_dis = 4
+    else:
+        raise ValueError("image input dimension not supported")
+
+    def final_dim(dim_len: int, scale: int) -> int:
+        # compute_final_conv_layer_dim (Discriminator.py:92-104).
+        return int((dim_len / 2) / (2 ** (n_dis - 1 + scale)))
+
+    p: Dict[str, Any] = {}
+    for s in range(n_scale):
+        for i in range(n_dis):
+            p[f"s{s}_conv{i}"] = {
+                "kernel": conv_kernel(state_dict[f"modules_features.{s}.{i}.1.weight"]),
+                "bias": _np(state_dict[f"modules_features.{s}.{i}.1.bias"]),
+            }
+        w0 = _np(state_dict[f"modules_logs.{s}.1.weight"])  # (128, C*H*W)
+        c = p[f"s{s}_conv{n_dis - 1}"]["kernel"].shape[-1]
+        h, w = final_dim(size_h, s), final_dim(size_w, s)
+        assert c * h * w == w0.shape[1], (c, h, w, w0.shape)
+        w0 = w0.reshape(-1, c, h, w).transpose(0, 2, 3, 1).reshape(w0.shape[0], -1)
+        p[f"s{s}_fc0"] = {"kernel": w0.T,
+                          "bias": _np(state_dict[f"modules_logs.{s}.1.bias"])}
+        p[f"s{s}_fc1"] = {"kernel": _np(state_dict[f"modules_logs.{s}.3.weight"]).T,
+                          "bias": _np(state_dict[f"modules_logs.{s}.3.bias"])}
+    return {"params": p}
+
+
+def convert_multires_patch_discriminator(state_dict: Mapping[str, Any],
+                                         domain: str = "a",
+                                         num_layers: int = 5) -> Dict[str, Any]:
+    """imaginaire `net_D` state_dict -> MultiResPatchDiscriminator params.
+
+    torch naming (reference: discriminators/munit.py:27-31 +
+    multires_patch.py:286-292): ``discriminator_{a,b}.discriminators.{i}.
+    layer{n}.0.layers.conv.*`` — Conv2dBlocks with spectral weight norm
+    (yaml:68-75), realized into plain kernels at conversion time like the
+    generator's."""
+    pref = f"discriminator_{domain}."
+    sd = {k[len(pref):]: v for k, v in state_dict.items() if k.startswith(pref)}
+    n_dis = len({k.split(".")[1] for k in sd if k.startswith("discriminators.")})
+    p: Dict[str, Any] = {}
+    for i in range(n_dis):
+        d: Dict[str, Any] = {}
+        for n in range(num_layers + 2):
+            d[f"layer{n}"] = _imag_conv(sd, f"discriminators.{i}.layer{n}.0.layers.conv")
+        p[f"dis_{i}"] = d
+    return {"params": p}
+
+
 def load_torch_state_dict(path: str) -> Dict[str, Any]:
     """Load a torch checkpoint file into a flat numpy state dict (torch-cpu)."""
     import torch

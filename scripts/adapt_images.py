@@ -33,6 +33,13 @@ def main():
                     help="alpha offset on the original VA (GuidanceConfig.reference_value)")
     ap.add_argument("--no-nto", action="store_true")
     ap.add_argument("--use-caption", action="store_true", default=True)
+    ap.add_argument("--batch", type=int, default=1,
+                    help=">1 runs the batched edit program: the whole "
+                         "invert->NTO->sample edit vmapped over the batch and "
+                         "sharded over the mesh data axis")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize UNet activations on differentiated paths "
+                         "(bigger batches at the cost of one extra forward)")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--input-size", type=int, default=None)
     ap.add_argument("--dtype", choices=("float32", "bfloat16"), default=None,
@@ -111,7 +118,8 @@ def main():
 
     sched = SCH.make_schedule(args.num_steps)
     pipe = InversionResamplingPipeline(unet=unet, vae=vae, sched=sched,
-                                       midu_model=midu, is_xl=is_xl)
+                                       midu_model=midu, is_xl=is_xl,
+                                       remat_unet=args.remat)
     params = PipelineParams(unet=unet_vars, vae=vae_vars, midu=midu_vars)
 
     added_cond_fn = None
@@ -155,11 +163,97 @@ def main():
 
     dataset = CaptionFeedDataset(args.data_dir or str(DATA_DIR))
     n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
-    for i in range(n):
-        _, (name, path, captions) = dataset[i]
-        caption = first_caption(captions)
-        print(f"[ {i + 1} / {n} ]: {name}\n")
-        adapter.adapt(path, gcfg, manager, acfg.resolved_end_iteration(), caption)
+
+    if args.batch <= 1:
+        for i in range(n):
+            _, (name, path, captions) = dataset[i]
+            caption = first_caption(captions)
+            print(f"[ {i + 1} / {n} ]: {name}\n")
+            adapter.adapt(path, gcfg, manager, acfg.resolved_end_iteration(), caption)
+        return
+
+    # --- batched, mesh-sharded path (rgie_tpu.diffusion.batched): the whole
+    # edit program vmapped over `--batch` images, batch axis over chips.
+    import time
+
+    import numpy as np
+
+    from rgie_tpu.adapt.adapter import transform_image
+    from rgie_tpu.data.dataset import load_image_rgb
+    from rgie_tpu.diffusion.batched import (BatchedConds, make_batched_edit,
+                                            stack_conds)
+    from rgie_tpu.parallel import batch_sharding, create_mesh, replicate
+    from rgie_tpu.utils.stats import print_score
+
+    mesh = create_mesh()
+    sharding = batch_sharding(mesh)
+    params = replicate(params, mesh)
+    label = gcfg.resolved_label()
+    out_sub = os.path.join(out_dir, label)
+    os.makedirs(out_sub, exist_ok=True)
+
+    program = jax.jit(make_batched_edit(
+        pipe, guidance_scale=gcfg.cfg_scale, guidance_clf_scale=gcfg.clf_scale,
+        use_nto=gcfg.is_nto, use_reference=gcfg.reference_value is not None,
+        end_iteration=acfg.resolved_end_iteration(),
+        midu_is_minimized=not gcfg.max))
+    empty = embeds_fn("", "")
+    added_empty = None
+    if is_xl:
+        both = added_cond_fn("", "")
+        added_empty = type(both)(text_embeds=both.text_embeds[1:2],
+                                 time_ids=both.time_ids[1:2])
+
+    from PIL import Image
+
+    for start in range(0, n, args.batch):
+        idxs = list(range(start, min(start + args.batch, n)))
+        metas, images_l, conds_l = [], [], []
+        for i in idxs:
+            _, (name, path, captions) = dataset[i]
+            caption = first_caption(captions)
+            metas.append((name, path))
+            images_l.append(transform_image(load_image_rgb(path), input_size)[0])
+            prompt = gcfg.prompt if not gcfg.use_caption else (caption + " " + gcfg.prompt)
+            ac, acond, auncond = None, None, None
+            if is_xl:
+                ac = added_cond_fn(prompt, gcfg.negative_prompt)
+                both = added_cond_fn(caption, "")
+                auncond = type(both)(text_embeds=both.text_embeds[0:1],
+                                     time_ids=both.time_ids[0:1])
+                acond = type(both)(text_embeds=both.text_embeds[1:2],
+                                   time_ids=both.time_ids[1:2])
+            conds_l.append(BatchedConds(
+                cfg_embeds=cfg_embeds_fn(prompt, gcfg.negative_prompt),
+                cond_embeds=embeds_fn(caption, ""),
+                added_cfg=ac, added_cond=acond, added_uncond=auncond))
+        # pad the tail batch to the compiled batch size
+        n_real = len(idxs)
+        while len(images_l) < args.batch:
+            images_l.append(images_l[-1])
+            conds_l.append(conds_l[-1])
+        images = jax.device_put(jnp.stack(images_l), sharding)
+        conds = jax.tree.map(lambda x: jax.device_put(x, sharding),
+                             stack_conds(conds_l))
+        alphas = jnp.full((args.batch, 2), gcfg.reference_value or 0.0)
+        alphas = jax.device_put(alphas, sharding)
+
+        t0 = time.time()
+        out = jax.block_until_ready(program(params, images, empty, conds, alphas,
+                                            added_empty))
+        dt = time.time() - t0
+        for b, (name, path) in enumerate(metas[:n_real]):
+            print(f"[ {idxs[b] + 1} / {n} ]: {name}\n")
+            orig = np.asarray(out.orig_score[b:b + 1])
+            print_score(orig, "original")
+            print_score(np.asarray(out.adapted_score[b:b + 1]), "adapted", orig)
+            rec = float(jnp.mean(jnp.abs(out.edited[b] - images[b])))
+            print("Reconstruction error: {:.4f}".format(rec))
+            arr = np.clip(np.asarray(out.edited[b]) * 255, 0, 255).astype(np.uint8)
+            base = name.replace(".jpg", "")
+            Image.fromarray(arr).save(os.path.join(out_sub, f"{base}.jpg"))
+        print(f"[{label}] batch of {n_real} edited in {dt:.2f}s "
+              f"({n_real / dt:.3f} img/s)")
 
 
 if __name__ == "__main__":

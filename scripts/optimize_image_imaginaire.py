@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--learning-rate", type=float, default=0.05)
     ap.add_argument("--weight-clf", type=float, default=0.2)
     ap.add_argument("--weight-recon", type=float, default=1.0)
+    ap.add_argument("--weight-dis", type=float, default=0.0,
+                    help="hinge realism term relu(-gan_loss) "
+                         "(reference: optimize_image_imaginaire.py:132-137)")
     ap.add_argument("--input-size", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--limit", type=int, default=500)
@@ -65,10 +68,12 @@ def main():
     va_loss = load_va_loss(va_path, k1, is_input_range_0_1=False)
 
     munit_path = args.munit_model or str(MODELS_DIR / "imaginaire_munit_200000_s5.pt")
+    dis_model, dis_vars = None, None
     if os.path.exists(munit_path):
         import torch
 
         from rgie_tpu.utils.torch_convert import (convert_munit_autoencoder,
+                                                  convert_multires_patch_discriminator,
                                                   filter_imaginaire_states)
 
         sd = torch.load(munit_path, map_location="cpu", weights_only=False)
@@ -77,19 +82,34 @@ def main():
         vb_vars = jax.tree.map(jnp.asarray, convert_munit_autoencoder(gen_sd, "b"))
         gen = MunitGenerator(variables_a=va_vars, variables_b=vb_vars)
         print(f"loaded MUNIT generator from {munit_path}")
+        if args.weight_dis > 0 and "net_D" in sd:
+            from rgie_tpu.models.discriminators import MultiResPatchDiscriminator
+
+            dis_model = MultiResPatchDiscriminator()
+            dis_vars = jax.tree.map(jnp.asarray, convert_multires_patch_discriminator(
+                filter_imaginaire_states(sd["net_D"]), "a"))
+            print("loaded MUNIT discriminator_a (weight_dis > 0)")
     else:
         gen = create_generator(k2, MunitGenConfig(), image_size=64)
         print(f"WARNING: {munit_path} not found; random-weight MUNIT stand-in")
+    if args.weight_dis > 0 and dis_vars is None:
+        from rgie_tpu.models.discriminators import MultiResPatchDiscriminator
+
+        dis_model = MultiResPatchDiscriminator()
+        k2, kd = jax.random.split(k2)
+        dis_vars = dis_model.init(kd, jnp.zeros((1, args.input_size, args.input_size, 3)))
+        print("WARNING: random-weight MUNIT discriminator stand-in")
 
     cfg = GanEditConfig(
         optimize=OptimizeConfig(num_steps=args.num_steps, learning_rate=args.learning_rate),
         weight_clf=args.weight_clf, weight_recon=args.weight_recon,
+        weight_dis=args.weight_dis,
         input_size=args.input_size, crop_size=args.input_size)
 
     mesh = create_mesh()
     batch = args.batch or mesh.devices.size
-    edit = jax.jit(GE.make_batched_edit(gen, va_loss, cfg))
-    models = GE.models_of(gen, va_loss)
+    edit = jax.jit(GE.make_batched_edit(gen, va_loss, cfg, dis_model))
+    models = GE.models_of(gen, va_loss, dis_vars)
     evaluate = jax.jit(jax.vmap(
         lambda m, i, e: P.make_evaluate(va_loss)(m, i[None], e[None]),
         in_axes=(None, 0, 0)))
@@ -126,7 +146,8 @@ def main():
                     os.path.join(out_dir, f"{base}_{name}.jpg"))
             print(f"[{name}] batch of {n_real} edited in {dt:.2f}s")
 
-    print(f"weight_clf: {args.weight_clf}; weight_recon: {args.weight_recon}")
+    print(f"weight_clf: {args.weight_clf}; weight_dis: {args.weight_dis}; "
+          f"weight_recon: {args.weight_recon}")
     S.print_stats(stats)
 
 

@@ -27,8 +27,15 @@ def main():
     ap.add_argument("--learning-rate", type=float, default=0.05)
     ap.add_argument("--weight-clf", type=float, default=0.15)
     ap.add_argument("--weight-recon", type=float, default=1.0)
+    ap.add_argument("--weight-dis", type=float, default=0.0,
+                    help="realism term weight (reference: optimize_image_param.py:91-98,315-330)")
+    ap.add_argument("--dis-model", default=None,
+                    help="torch pixel-discriminator checkpoint (imagenet_w0_high_lookhere_dis)")
     ap.add_argument("--input-size", type=int, default=480)
     ap.add_argument("--crop-size", type=int, default=480)
+    ap.add_argument("--output-size", type=int, default=1024,
+                    help="full-resolution re-render size (reference output_transform, "
+                         "optimize_image_param.py:77-81,295-312); 0 disables")
     ap.add_argument("--batch", type=int, default=None, help="images per device program (default: #chips)")
     ap.add_argument("--limit", type=int, default=500, help="dataset cap (reference: optimize_image.py:25)")
     ap.add_argument("--adaptations", default="pos_01:0.1,pos_02:0.2,neg_01:-0.1,neg_02:-0.1,neutral:0.0")
@@ -67,16 +74,48 @@ def main():
     va_loss = load_va_loss(va_path, k1, is_input_range_0_1=True)
     clip_enc = create_clip_image_encoder(k2) if args.weight_recon > 0 else None
 
+    # Optional pixel-discriminator realism term (reference wires it via
+    # NetWithCriterion when weight_dis > 0, optimize_image_param.py:91-98).
+    dis_model, dis_vars = None, None
+    if args.weight_dis > 0:
+        from rgie_tpu.models.discriminators import PixelDiscriminator
+
+        dis_model = PixelDiscriminator(size_w=args.crop_size, size_h=args.crop_size)
+        dis_path = args.dis_model or str(MODELS_DIR / "imagenet_w0_high_lookhere_dis")
+        if os.path.exists(dis_path):
+            from rgie_tpu.utils.torch_convert import (convert_pixel_discriminator,
+                                                      load_torch_state_dict)
+
+            dis_vars = jax.tree.map(jnp.asarray, convert_pixel_discriminator(
+                load_torch_state_dict(dis_path), size_w=args.crop_size,
+                size_h=args.crop_size))
+            print(f"loaded pixel discriminator from {dis_path}")
+        else:
+            k2, kd = jax.random.split(k2)
+            dis_vars = dis_model.init(kd, jnp.zeros((1, args.crop_size, args.crop_size, 3)))
+            print(f"WARNING: {dis_path} not found; random-weight discriminator stand-in")
+
     cfg = ParamEditConfig(
         optimize=OptimizeConfig(num_steps=args.num_steps, learning_rate=args.learning_rate),
         weight_clf=args.weight_clf, weight_recon=args.weight_recon,
-        input_size=args.input_size, crop_size=args.crop_size)
+        weight_dis=args.weight_dis,
+        input_size=args.input_size, crop_size=args.crop_size,
+        output_size=args.output_size)
 
     mesh = create_mesh()
     n_chips = mesh.devices.size
     batch = args.batch or n_chips
-    edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg))
-    models = P.models_of(va_loss, clip_enc)
+    edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg, dis_model))
+    models = P.models_of(va_loss, clip_enc, dis_vars)
+
+    # Full-resolution output re-render (reference output_transform,
+    # optimize_image_param.py:295-312: re-apply the optimized vector to the
+    # Resize(1024)+CenterCrop(1024) original before saving). Uses the Pallas
+    # fused pointwise kernel for the chain prefix on TPU.
+    rerender = None
+    if args.output_size:
+        rerender = jax.jit(lambda img, x: CH.edit_image_fused(
+            img, x, input_size=cfg.crop_size, order=cfg.transforms))
     evaluate = jax.jit(jax.vmap(
         lambda m, i, e: P.make_evaluate(va_loss)(m, i[None], e[None]),
         in_axes=(None, 0, 0)))
@@ -116,7 +155,7 @@ def main():
                 np.asarray(x0), maxiter=args.gf_maxiter)
             edited = CH.edit_image(image, jnp.asarray(x_opt),
                                    input_size=cfg.crop_size, order=cfg.transforms)
-            return edited
+            return edited, jnp.asarray(x_opt)
 
     for images_np, metas in iterate_batches(dataset, batch, args.input_size,
                                             args.crop_size, limit=args.limit):
@@ -127,13 +166,18 @@ def main():
             alphas = jnp.broadcast_to(jnp.asarray(alpha), (images.shape[0], 2))
             t0 = time.time()
             if gradient_free_edit is not None:
-                parts = [gradient_free_edit(images[b:b + 1], jnp.asarray(alpha))
-                         for b in range(n_real)]
+                parts, xs = [], []
+                for b in range(n_real):
+                    e, x = gradient_free_edit(images[b:b + 1], jnp.asarray(alpha))
+                    parts.append(e)
+                    xs.append(x)
                 if n_real < images.shape[0]:
                     parts.append(images[n_real:])
                 edited = jnp.concatenate(parts)
+                best_xs = jnp.stack(xs)
             else:
                 result, edited = jax.block_until_ready(edit(models, images, alphas))
+                best_xs = result.best_x
             dt = time.time() - t0
             metrics = evaluate(models, images, edited)
             for b, meta in enumerate(metas[:n_real]):
@@ -141,13 +185,24 @@ def main():
                 va1 = np.asarray(metrics["va_adapted"][b])
                 S.print_score(va1, f"{meta[0]} {name}", va0)
                 S.record_edit(stats[name], va0, va1, float(metrics["rec_error"][b]))
-                img_out = np.clip(np.asarray(edited[b]) * 255, 0, 255).astype(np.uint8)
+                if rerender is not None:
+                    # Re-apply the optimized vector at the output resolution
+                    # (reference output_transform, optimize_image_param.py:295-312).
+                    from rgie_tpu.data.dataset import load_image_rgb, preprocess_image
+
+                    full = jnp.asarray(preprocess_image(
+                        load_image_rgb(meta[1]), args.output_size, args.output_size))
+                    img_arr = np.asarray(rerender(full, best_xs[b])[0])
+                else:
+                    img_arr = np.asarray(edited[b])
+                img_out = np.clip(img_arr * 255, 0, 255).astype(np.uint8)
                 base = meta[0].replace(".jpg", "")
                 Image.fromarray(img_out).save(os.path.join(out_dir, f"{base}_{name}.jpg"))
             print(f"[{name}] batch of {n_real} edited in {dt:.2f}s "
                   f"({n_real / dt:.3f} img/s)")
 
-    print(f"weight_clf: {args.weight_clf}; weight_recon: {args.weight_recon}")
+    print(f"weight_clf: {args.weight_clf}; weight_dis: {args.weight_dis}; "
+          f"weight_recon: {args.weight_recon}")
     S.print_stats(stats)
 
 

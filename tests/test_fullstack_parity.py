@@ -1,0 +1,125 @@
+"""FULL-STACK numerical parity vs a PyTorch twin (VERDICT r1 item 2).
+
+One shared-weight image edit — filter chain + deterministic ten-crop
+ResNet-50 VA loss + CLIP recon + Adam with the reference's cosine-ramp
+schedule — runs in both stacks; the per-step loss trajectory, the optimized
+vector, and the compare_emotions oracles (VA delta + L1 rec error,
+/root/reference/src/baselines/run_img_trans.py:361-386) must agree within
+float-accumulation tolerance. Weights move through the PRODUCTION converters
+(torch_convert.convert_resnet50 / convert_clip_visual), so this also
+end-to-end-validates the converter path the real checkpoints take."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from rgie_tpu.utils import torch_convert as TC
+
+INPUT = 96
+CROP = 80
+STEPS = 25
+
+
+@pytest.mark.slow
+def test_fullstack_param_edit_parity(rng):
+    import torch_twin as TT
+
+    from rgie_tpu.config import OptimizeConfig, ParamEditConfig
+    from rgie_tpu.engine import parametric as P
+    from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
+    from rgie_tpu.models.clip import ClipImageEncoder, VisionTransformer
+    from rgie_tpu.models.emotion import EmotionRegressor
+
+    torch.manual_seed(0)
+    va_t = TT.TorchResNet50(num_classes=4)
+    with torch.no_grad():  # randomize BN stats so eval-mode parity is real
+        for m in va_t.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+    clip_t = TT.TorchClipVisual(width=64, layers=2, heads=2, patch=16,
+                                resolution=INPUT, out_dim=32)
+
+    # ---- shared weights through the production converters
+    va_vars = jax.tree.map(jnp.asarray, TC.convert_resnet50(va_t.state_dict()))
+    clip_vars = jax.tree.map(jnp.asarray, TC.convert_clip_visual(
+        {k: v.numpy() for k, v in clip_t.state_dict().items()},
+        layers=2, heads=2, width=64))
+    regressor = EmotionRegressor(variables=va_vars, input_size=INPUT, crop_size=CROP)
+    va_loss = ValenceArousalLoss(regressor=regressor)
+    clip_enc = ClipImageEncoder(
+        variables=clip_vars,
+        model=VisionTransformer(width=64, layers=2, heads=2, patch_size=16,
+                                input_resolution=INPUT, output_dim=32))
+
+    image_np = rng.uniform(0, 1, (1, INPUT, INPUT, 3)).astype(np.float32)
+    alpha = np.asarray([0.2, 0.2], np.float32)
+
+    # Kink-free starting vector: at the EXACT identity init the scale op sits
+    # on bilinear-kernel corners where JAX's balanced-tie subgradient and
+    # torch's clamp subgradient legitimately differ (the reference's own
+    # trajectory is framework-subgradient-dependent at that point). A generic
+    # perturbed start makes the objective smooth along the whole trajectory.
+    from rgie_tpu.ops import chain as CH
+    x0 = np.asarray(CH.pack_params(CH.init_params()), np.float32).copy()
+    x0[0] = 0.08                      # exposure
+    x0[1] = 0.93                      # saturation
+    x0[2:34] += rng.uniform(-0.05, 0.05, 32).astype(np.float32)  # curves
+    x0[34] = 1.07                     # contrast
+    x0[35] = 0.25                     # sharp
+    x0[36] = 0.4                      # blur
+    x0[37:41] = [1.07, 1.12, 37.0, 51.0]  # scale / center
+
+    # ---- JAX stack: one fused scanned program (objective + scanned Adam)
+    cfg = ParamEditConfig(optimize=OptimizeConfig(num_steps=STEPS, learning_rate=0.05),
+                          input_size=INPUT, crop_size=CROP)
+    from rgie_tpu.engine.optimize import optimize as jax_optimize
+
+    models = P.models_of(va_loss, clip_enc)
+    objective = P.make_objective(va_loss, clip_enc, cfg)
+    image = jnp.asarray(image_np)
+    va0_j = va_loss.predict_loss_metric(image)
+    target = jnp.clip(va0_j + alpha, 0.0, 1.0)
+    feats = clip_enc.embed_normalized(image)
+    ctx = P.EditContext(image=image, target=target, clip_features=feats)
+
+    @jax.jit
+    def edit(models, x0):
+        return jax_optimize(lambda x: objective(x, ctx, models), x0, cfg.optimize)
+
+    result = jax.block_until_ready(edit(models, jnp.asarray(x0)))
+    edited_j = CH.edit_image(image, result.best_x, input_size=CROP,
+                             order=cfg.transforms)
+
+    # ---- torch twin: the reference's host-driven loop
+    image_t = torch.from_numpy(image_np.transpose(0, 3, 1, 2))
+    best_x_t, losses_t, va0_t, _ = TT.run_edit(
+        image_t, torch.from_numpy(alpha), va_t, clip_t, num_steps=STEPS,
+        lr=0.05, weight_clf=cfg.weight_clf, weight_recon=cfg.weight_recon,
+        input_size=INPUT, crop_size=CROP, x0=torch.from_numpy(x0))
+
+    losses_j = np.asarray(result.losses)
+    # step-0 losses: pure forward parity with shared weights
+    np.testing.assert_allclose(losses_j[0], losses_t[0], rtol=1e-4, atol=1e-5)
+    # full trajectory: float accumulation drift only
+    np.testing.assert_allclose(losses_j, losses_t, rtol=0.02, atol=2e-3)
+    # optimized vector: Adam turns ~1e-6 gradient noise into lr-sized position
+    # differences on low-curvature components (m/sqrt(v) is scale-free), so
+    # the raw 41-vector is only coarsely comparable; the oracles below are the
+    # real gate.
+    assert float(np.abs(np.asarray(result.best_x) - best_x_t.numpy()).max()) < 0.5
+
+    # ---- compare_emotions oracles on each stack's own output
+    ev = P.make_evaluate(va_loss)(models, jnp.asarray(image_np), edited_j)
+    with torch.no_grad():
+        edited_t = TT.edit_image(image_t, best_x_t, CROP)
+        va1_t = TT.va_predict(va_t, edited_t, INPUT, CROP).numpy()
+    delta_j = np.asarray(ev["va_delta"])[0]
+    delta_t = (va1_t - va0_t)[0]
+    np.testing.assert_allclose(np.asarray(ev["va_original"])[0], va0_t[0],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(delta_j, delta_t, atol=5e-3)
+    rec_t = float(torch.mean(torch.abs(edited_t - image_t)))
+    np.testing.assert_allclose(float(ev["rec_error"]), rec_t, atol=2e-3)
