@@ -38,6 +38,7 @@ BATCH = int(os.environ.get("RGIE_BENCH_BATCH", "8"))
 # bfloat16 runs the frozen regressor/CLIP compute on the MXU fast path with
 # f32 loss/optimizer masters (the 41 edit params and Adam state stay f32).
 DTYPE = os.environ.get("RGIE_BENCH_DTYPE", "bfloat16")
+REMAT = os.environ.get("RGIE_BENCH_REMAT", "0") == "1"
 
 # PyTorch-CPU anchor: reference-equivalent objective step (ten-crop 448
 # ResNet-50 fwd+bwd + CLIP ViT-B/32 fwd+bwd + filter chain) measured by
@@ -59,7 +60,8 @@ def main():
     clip_enc = create_clip_image_encoder(k2, dtype=dtype)  # ViT-B/32
 
     cfg = ParamEditConfig(optimize=OptimizeConfig(num_steps=NUM_STEPS,
-                                                  learning_rate=0.05))
+                                                  learning_rate=0.05),
+                          remat=REMAT)
     edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg))
     models = P.models_of(va_loss, clip_enc)
 
@@ -105,6 +107,7 @@ def main():
             "compile_seconds": round(compile_s, 1),
             "chips": n_chips,
             "dtype": DTYPE,
+            "remat": REMAT,
             "torch_cpu_step_seconds": TORCH_CPU_STEP_SECONDS,
         },
     }))

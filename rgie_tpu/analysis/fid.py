@@ -1,13 +1,15 @@
 """Distributional image-quality metrics: FID, KID, Inception Score.
 
 Reference: `/root/reference/src/analysis/process_result_images.py:78-87` calls
-torch_fidelity.calculate_metrics(isc=True, fid=True, kid=True). torch_fidelity
-(and Inception-v3 weights) are not available here, so this module implements
-the metric MATH (Fréchet distance, polynomial-kernel MMD, IS) over features
-from a pluggable extractor — by default our CLIP image tower (the "CLIP-FID"
-variant; pass a converted Inception/CLIP checkpoint for calibrated numbers).
-Feature extraction is jitted and batched on TPU; the O(d^3) covariance sqrt
-runs on host scipy.
+torch_fidelity.calculate_metrics(isc=True, fid=True, kid=True). This module
+implements the metric MATH (Fréchet distance, polynomial-kernel MMD, IS) over
+features from a pluggable extractor. For numbers comparable to published
+FID/KID/ISC, use the Inception-v3 extractor
+(rgie_tpu.models.inception.make_feature_extractor with a converted
+pytorch-fid/torchvision checkpoint — torch_convert.convert_inception_v3);
+the CLIP extractor below gives the "CLIP-FID" variant when no Inception
+checkpoint is on disk. Feature extraction is jitted and batched on TPU; the
+O(d^3) covariance sqrt runs on host scipy.
 """
 
 from __future__ import annotations
@@ -100,17 +102,28 @@ def calculate_metrics(images1: np.ndarray, images2: np.ndarray,
                       prob_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
                       kid_subset_size: int = 1000) -> dict:
     """torch_fidelity.calculate_metrics-shaped API over edited vs original
-    image sets (process_result_images.py:78-87)."""
+    image sets (process_result_images.py:78-87).
+
+    ``feature_extractor`` may return either features (N, D) or a
+    (features, class_probs) tuple — the Inception extractor
+    (rgie_tpu.models.inception.make_feature_extractor) returns both in one
+    pass, giving calibrated FID/KID *and* ISC without a second sweep."""
+    p1 = None
     f1 = feature_extractor(images1)
     f2 = feature_extractor(images2)
+    if isinstance(f1, tuple):
+        f1, p1 = f1
+        f2, _ = f2
     kid_mean, kid_std = kid_from_features(f1, f2, subset_size=kid_subset_size)
     out = {
         "frechet_inception_distance": fid_from_features(f1, f2),
         "kernel_inception_distance_mean": kid_mean,
         "kernel_inception_distance_std": kid_std,
     }
-    if prob_fn is not None:
-        isc_mean, isc_std = inception_score(prob_fn(images1))
+    if p1 is None and prob_fn is not None:
+        p1 = prob_fn(images1)
+    if p1 is not None:
+        isc_mean, isc_std = inception_score(p1)
         out["inception_score_mean"] = isc_mean
         out["inception_score_std"] = isc_std
     return out

@@ -56,6 +56,11 @@ class ParamEditConfig:
     input_size: int = 480
     crop_size: int = 480
     output_size: int = 1024
+    # Rematerialize the objective's frozen-model activations (ten-crop 448px
+    # ResNet-50 + CLIP) in the differentiated scan step: one extra forward
+    # buys ~the models' activation footprint, unlocking larger image batches
+    # (SURVEY §7.3 memory cliff).
+    remat: bool = False
     # alpha offsets applied to the original image's VA prediction to form the
     # per-image target (reference: src/optimize_image_param.py:34-42).
     adaptations: Tuple[Tuple[str, float], ...] = (
@@ -83,6 +88,9 @@ class GanEditConfig:
     weight_dis: float = 0.0
     input_size: int = 1024
     crop_size: int = 1024
+    # Rematerialize the objective (decode -> VA -> re-encode) on backward:
+    # required headroom for 1024px edits at useful batch (SURVEY §7.3).
+    remat: bool = False
     adaptations: Tuple[Tuple[str, float], ...] = (
         ("pos_01", 0.1),
         ("pos_02", 0.2),

@@ -39,6 +39,7 @@ class UNetConfig:
     cross_attention_dim: int = 1024
     addition_embed_type: Optional[str] = None      # None | "text_time" (SDXL)
     addition_time_embed_dim: int = 256
+    addition_pooled_dim: int = 1280                # pooled text-embed width
     projection_class_embeddings_input_dim: int = 2816
     norm_num_groups: int = 32
 
@@ -72,6 +73,17 @@ class UNetConfig:
             attention_head_dim=(2, 2),
             cross_attention_dim=cross_dim,
             norm_num_groups=4,
+        )
+
+    @staticmethod
+    def tiny_xl(cross_dim: int = 32) -> "UNetConfig":
+        """Test-size config with the SDXL block structure + added text_time
+        conditioning (pooled embeds + 6 micro-conditioning time ids)."""
+        return dataclasses.replace(
+            UNetConfig.tiny(cross_dim),
+            addition_embed_type="text_time",
+            addition_time_embed_dim=8,
+            addition_pooled_dim=16,
         )
 
 
@@ -232,7 +244,9 @@ class UNet2DCondition(nn.Module):
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
                  added_text_embeds: Optional[jnp.ndarray] = None,
-                 added_time_ids: Optional[jnp.ndarray] = None):
+                 added_time_ids: Optional[jnp.ndarray] = None,
+                 down_residuals: Optional[Sequence[jnp.ndarray]] = None,
+                 mid_residual: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         ch0 = cfg.block_out_channels[0]
         temb_dim = ch0 * 4
@@ -290,6 +304,14 @@ class UNet2DCondition(nn.Module):
                           name="mid_attn")(x, context)
         x = ResnetBlock(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
                         name="mid_res_1")(x, temb)
+        # ControlNet residuals (diffusers ControlNetModel semantics: one
+        # residual per skip entry, added where the up path consumes them, plus
+        # one on the mid-block output). The midu guidance tap sees the
+        # control-conditioned mid features.
+        if mid_residual is not None:
+            x = x + mid_residual
+        if down_residuals is not None:
+            skips = [s + r for s, r in zip(skips, down_residuals)]
         mid_features = x
 
         # Up blocks (reversed channels, skip concats).
@@ -324,7 +346,7 @@ def create_unet(key, cfg: UNetConfig = UNetConfig.tiny(), sample_hw: int = 8,
     ctx = jnp.zeros((1, context_len, cfg.cross_attention_dim), dtype)
     kwargs = {}
     if cfg.addition_embed_type == "text_time":
-        kwargs = dict(added_text_embeds=jnp.zeros((1, 1280), dtype),
+        kwargs = dict(added_text_embeds=jnp.zeros((1, cfg.addition_pooled_dim), dtype),
                       added_time_ids=jnp.zeros((1, 6), dtype))
     variables = model.init(key, sample, jnp.zeros((1,), jnp.int32), ctx, **kwargs)
     return model, variables

@@ -81,6 +81,10 @@ def make_objective(gen: MunitGenerator, va_loss: ValenceArousalLoss, cfg: GanEdi
             loss = loss + cfg.weight_recon * jnp.mean(jnp.abs(content_new - ctx.content))
         return loss
 
+    if cfg.remat:
+        # Recompute decoder/regressor/encoder activations on backward instead
+        # of saving them across the scanned Adam step (1024px headroom).
+        objective = jax.checkpoint(objective)
     return objective
 
 

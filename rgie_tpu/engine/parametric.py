@@ -100,6 +100,10 @@ def make_objective(va_loss: ValenceArousalLoss, clip_encoder: Optional[ClipImage
             loss = loss + cfg.weight_recon * clip_loss(enc, ctx.clip_features, out)
         return loss
 
+    if cfg.remat:
+        # Recompute the frozen-model forwards during the backward pass instead
+        # of saving ten-crop ResNet/CLIP activations across the scan step.
+        objective = jax.checkpoint(objective)
     return objective
 
 

@@ -391,6 +391,48 @@ def convert_multires_patch_discriminator(state_dict: Mapping[str, Any],
     return {"params": p}
 
 
+def convert_inception_v3(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """torchvision/pytorch-fid inception_v3 state_dict ->
+    rgie_tpu.models.inception.InceptionV3 variables.
+
+    Both checkpoint families share the torchvision module naming
+    (``Mixed_5b.branch1x1.conv.weight`` ...); the fc head may be 1000
+    (torchvision) or 1008 (pt_inception-2015-12-05) wide — converted as-is.
+    AuxLogits and num_batches_tracked are dropped (eval-only graph)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def nest(root, path):
+        d = root
+        for part in path:
+            d = d.setdefault(part, {})
+        return d
+
+    for key, val in state_dict.items():
+        if key.startswith("AuxLogits") or key.endswith("num_batches_tracked"):
+            continue
+        parts = key.split(".")
+        if parts[0] == "fc":
+            if parts[1] == "weight":
+                nest(params, ["fc"])["kernel"] = dense_kernel(val)
+            else:
+                nest(params, ["fc"])["bias"] = _np(val)
+            continue
+        mod, leaf = parts[:-1], parts[-1]
+        if mod[-1] == "conv":
+            nest(params, mod)["kernel"] = conv_kernel(val)
+        elif mod[-1] == "bn":
+            if leaf == "weight":
+                nest(params, mod)["scale"] = _np(val)
+            elif leaf == "bias":
+                nest(params, mod)["bias"] = _np(val)
+            elif leaf == "running_mean":
+                nest(stats, mod)["mean"] = _np(val)
+            elif leaf == "running_var":
+                nest(stats, mod)["var"] = _np(val)
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_state_dict(path: str) -> Dict[str, Any]:
     """Load a torch checkpoint file into a flat numpy state dict (torch-cpu)."""
     import torch

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark the MUNIT style-space edit (optimize_image_imaginaire workload)
+at a given resolution/batch: decode -> clamp -> VA regressor (fwd+bwd) ->
+re-encode L1 content recon -> Adam, scanned over N steps and vmapped over the
+batch. The reference runs this at 1024px on one GPU
+(`/root/reference/src/optimize_image_imaginaire.py:45`, shipped yaml:101-126);
+--remat rematerializes the objective so 1024px fits at useful batch.
+
+Prints ONE JSON line and appends it to artifacts/gan_bench.jsonl.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rgie_tpu.utils.jaxcache import enable_persistent_cache
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--num-steps", type=int, default=100)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--dtype", choices=("float32", "bfloat16"), default="bfloat16")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from rgie_tpu.config import GanEditConfig, MunitGenConfig, OptimizeConfig
+    from rgie_tpu.engine import gan as GE
+    from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
+    from rgie_tpu.models.emotion import create_regressor
+    from rgie_tpu.models.munit import create_generator
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    reg = create_regressor(k1, dtype=dtype)
+    va_loss = ValenceArousalLoss(regressor=reg, is_input_range_0_1=False)
+    gen = create_generator(k2, MunitGenConfig(), image_size=args.size, dtype=dtype)
+
+    cfg = GanEditConfig(
+        optimize=OptimizeConfig(num_steps=args.num_steps, learning_rate=0.05),
+        input_size=args.size, crop_size=args.size, remat=args.remat)
+    edit = jax.jit(GE.make_batched_edit(gen, va_loss, cfg))
+    models = GE.models_of(gen, va_loss)
+
+    images = jax.random.uniform(k3, (args.batch, args.size, args.size, 3)) * 2 - 1
+    alphas = jnp.full((args.batch, 2), 0.1)
+
+    def run_once():
+        result, edited = edit(models, images, alphas)
+        return float(jnp.sum(edited.astype(jnp.float32))) + float(
+            jnp.sum(result.best_loss))
+
+    t0 = time.time()
+    run_once()
+    compile_s = time.time() - t0
+    print(f"# compile+first run: {compile_s:.1f}s", flush=True)
+
+    t0 = time.time()
+    for _ in range(args.runs):
+        run_once()
+    elapsed = (time.time() - t0) / args.runs
+
+    n_chips = jax.device_count()
+    row = {
+        "metric": f"optimize_image_imaginaire {args.size}px MUNIT edit",
+        "value": round(args.batch / elapsed / n_chips, 4),
+        "unit": "images/sec/chip (per full edit)",
+        "vs_baseline": None,
+        "detail": {
+            "batch": args.batch, "steps": args.num_steps,
+            "per_step_ms_batched": round(elapsed / args.num_steps * 1000, 2),
+            "remat": args.remat, "dtype": args.dtype,
+            "edit_seconds": round(elapsed, 3),
+            "compile_seconds": round(compile_s, 1), "chips": n_chips,
+        },
+    }
+    print(json.dumps(row), flush=True)
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "gan_bench.jsonl")
+    with open(art, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()

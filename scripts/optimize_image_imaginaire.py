@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--limit", type=int, default=500)
     ap.add_argument("--adaptations", default="pos_01:0.1,pos_02:0.2,neg_01:-0.1,neg_02:-0.1,neutral:0.0")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the objective on backward (bigger batches / 1024px)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -104,7 +106,8 @@ def main():
         optimize=OptimizeConfig(num_steps=args.num_steps, learning_rate=args.learning_rate),
         weight_clf=args.weight_clf, weight_recon=args.weight_recon,
         weight_dis=args.weight_dis,
-        input_size=args.input_size, crop_size=args.input_size)
+        input_size=args.input_size, crop_size=args.input_size,
+        remat=args.remat)
 
     mesh = create_mesh()
     batch = args.batch or mesh.devices.size

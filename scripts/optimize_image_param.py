@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--gradient-free", action="store_true", help="Nelder-Mead instead of Adam")
     ap.add_argument("--gf-maxiter", type=int, default=None, help="Nelder-Mead iteration cap")
     ap.add_argument("--save-orig", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the objective on backward (bigger batches / 1024px)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -100,7 +102,7 @@ def main():
         weight_clf=args.weight_clf, weight_recon=args.weight_recon,
         weight_dis=args.weight_dis,
         input_size=args.input_size, crop_size=args.crop_size,
-        output_size=args.output_size)
+        output_size=args.output_size, remat=args.remat)
 
     mesh = create_mesh()
     n_chips = mesh.devices.size

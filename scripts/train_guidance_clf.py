@@ -28,7 +28,13 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data-dir", default=None, help="captions feed dataset; synthetic if absent")
     ap.add_argument("--out-dir", default="./checkpoints/midu")
-    ap.add_argument("--scale", choices=("tiny", "sd"), default="tiny")
+    ap.add_argument("--scale", choices=("tiny", "tiny-xl", "sd", "sdxl"), default="tiny",
+                    help="sdxl = MiduSDXL over the SDXL UNet mid block at 1024px "
+                         "(reference train_guidance_clf.py:52-54,89-98); tiny-xl "
+                         "is its test-size twin")
+    ap.add_argument("--dtype", choices=("float32", "bfloat16"), default=None,
+                    help="UNet/VAE feature-extraction dtype (default bf16 at "
+                         "sd/sdxl scale; the trained midu stays f32)")
     ap.add_argument("--setting", choices=("va", "valence", "arousal"), default="va")
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--batch-size", type=int, default=8)
@@ -52,7 +58,7 @@ def main():
     from rgie_tpu.diffusion.vae import AutoencoderKL, VaeConfig, create_vae
     from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
     from rgie_tpu.models.emotion import create_regressor
-    from rgie_tpu.models.midu import MiduSD
+    from rgie_tpu.models.midu import MiduSD, MiduSDXL
     from rgie_tpu.parallel import create_mesh, shard_batch
     from rgie_tpu.training.train_midu import (create_train_state, get_noisy_latents,
                                               make_eval_step, make_train_step,
@@ -65,39 +71,93 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
 
+    is_xl = args.scale in ("tiny-xl", "sdxl")
     if args.scale == "tiny":
         image_size = args.image_size or 64
         unet_cfg, vae_cfg = UNetConfig.tiny(), VaeConfig.tiny()
         teacher = create_regressor(k4, input_size=72, crop_size=64)
-    else:
+    elif args.scale == "tiny-xl":
+        image_size = args.image_size or 64
+        unet_cfg, vae_cfg = UNetConfig.tiny_xl(), VaeConfig.tiny()
+        teacher = create_regressor(k4, input_size=72, crop_size=64)
+    elif args.scale == "sd":
         image_size = args.image_size or 512
         unet_cfg, vae_cfg = UNetConfig.sd21(), VaeConfig.sd()
         teacher = create_regressor(k4)
+    else:  # sdxl: 1024px images, 128px latents, 32px mid block
+        image_size = args.image_size or 1024
+        unet_cfg, vae_cfg = UNetConfig.sdxl(), VaeConfig.sdxl()
+        teacher = create_regressor(k4)
     teacher_loss = ValenceArousalLoss(regressor=teacher, loss_type=args.setting)
 
+    dtype_name = args.dtype or ("float32" if args.scale.startswith("tiny")
+                                else "bfloat16")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
     latent_hw = image_size // (2 ** (len(vae_cfg.block_out_channels) - 1))
-    unet, unet_vars = create_unet(k1, unet_cfg, sample_hw=latent_hw, context_len=8)
-    vae, vae_vars = create_vae(k2, vae_cfg, image_hw=image_size)
+    if args.scale.startswith("tiny"):
+        unet, unet_vars = create_unet(k1, unet_cfg, sample_hw=latent_hw, context_len=8)
+        vae, vae_vars = create_vae(k2, vae_cfg, image_hw=image_size)
+    else:
+        # Big frozen feature extractors: host-CPU init, cast, transfer
+        # (adapt_images.py policy — SDXL f32 can't even init in 16GB HBM).
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            unet, unet_vars = create_unet(k1, unet_cfg, sample_hw=latent_hw,
+                                          context_len=8, dtype=dtype)
+            vae, vae_vars = create_vae(k2, vae_cfg, image_hw=image_size, dtype=dtype)
+        accel = jax.devices()[0]
+        cast = lambda t: jax.tree.map(
+            lambda a: jax.device_put(a.astype(dtype) if a.dtype == jnp.float32 else a,
+                                     accel), t)
+        unet_vars = cast(unet_vars)
+        vae_vars = cast(vae_vars)
     mid_ch = unet_cfg.block_out_channels[-1]
     mid_hw = latent_hw // (2 ** (len(unet_cfg.block_out_channels) - 1))
     num_outputs = 2 if args.setting == "va" else 1
-    midu = MiduSD(num_outputs)
+    midu = MiduSDXL(num_outputs) if is_xl else MiduSD(num_outputs)
     midu_vars = midu.init(k3, jnp.zeros((1, mid_hw, mid_hw, mid_ch)))
 
     sched = SCH.make_schedule(50)
     empty_ctx = jnp.zeros((1, 8, unet_cfg.cross_attention_dim))
+    # SDXL added conditioning for the frozen feature pass: empty-prompt pooled
+    # embeds (zeros, matching an untrained/empty encode) + the standard
+    # (orig_size, crop 0 0, target_size) micro-conditioning time ids
+    # (reference trains with empty prompts via get_prompt_embeddings_sdxl,
+    # MiduClassifier._set_midu_layer_no_grad).
+    added_text = jnp.zeros((1, unet_cfg.addition_pooled_dim))
+    added_time = jnp.asarray(
+        [[image_size, image_size, 0, 0, image_size, image_size]], jnp.float32)
 
-    def features_and_labels(rng_key, images):
-        """Teacher labels + noisy-latent mid-block features (all frozen)."""
-        labels = teacher_loss.predict_loss_metric(images)
-        latents = vae.apply(vae_vars, images * 2 - 1, method=AutoencoderKL.encode)
+    import dataclasses
+
+    def features_and_labels(uv, vv, tv, rng_key, images):
+        """Teacher labels + noisy-latent mid-block features (all frozen).
+        Weight pytrees are jit ARGUMENTS — closing 2.6B SDXL params into the
+        traced fn embeds them as HLO constants (remote-compile 413)."""
+        tl = dataclasses.replace(
+            teacher_loss, regressor=dataclasses.replace(teacher_loss.regressor,
+                                                        variables=tv))
+        labels = tl.predict_loss_metric(images)
+        latents = vae.apply(vv, images * 2 - 1, method=AutoencoderKL.encode)
+        latents = latents.astype(jnp.float32)
         noisy, t = get_noisy_latents(rng_key, latents, sched.alphas_cumprod,
                                      cfg.num_train_timesteps)
-        ctx = jnp.broadcast_to(empty_ctx, (noisy.shape[0],) + empty_ctx.shape[1:])
-        _, mid = unet.apply(unet_vars, noisy, t, ctx)
-        return mid, labels
+        b = noisy.shape[0]
+        ctx = jnp.broadcast_to(empty_ctx, (b,) + empty_ctx.shape[1:]).astype(dtype)
+        if is_xl:
+            _, mid = unet.apply(uv, noisy, t, ctx,
+                                added_text_embeds=jnp.broadcast_to(
+                                    added_text, (b, added_text.shape[1])).astype(dtype),
+                                added_time_ids=jnp.broadcast_to(added_time, (b, 6)))
+        else:
+            _, mid = unet.apply(uv, noisy, t, ctx)
+        return mid.astype(jnp.float32), labels
 
-    features_and_labels = jax.jit(features_and_labels)
+    _fl = jax.jit(features_and_labels)
+    teacher_vars = teacher_loss.regressor.variables
+    features_and_labels = lambda k, imgs: _fl(unet_vars, vae_vars, teacher_vars,
+                                              k, imgs)
 
     mesh = create_mesh()
     state = create_train_state(midu_vars, cfg)

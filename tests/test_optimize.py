@@ -2,6 +2,8 @@
 torch.optim.Adam (the reference's optimizer, optimize_image.py:56-97), best-x
 semantics, and a tiny end-to-end parametric edit."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -123,3 +125,36 @@ def test_parametric_edit_end_to_end(key):
     metrics = P.evaluate_edit(va, image, edited)
     assert metrics["va_delta"].shape == (1, 2)
     assert np.isfinite(float(metrics["rec_error"]))
+
+
+def test_remat_objective_matches_plain(key):
+    """cfg.remat=True must be a pure memory/time trade: identical loss and
+    gradient to the plain objective (jax.checkpoint semantics)."""
+    from rgie_tpu.engine import parametric as P
+    from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
+    from rgie_tpu.models.clip import create_clip_image_encoder
+    from rgie_tpu.models.emotion import create_regressor
+    from rgie_tpu.ops import chain as CH
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    reg = create_regressor(k1, input_size=64, crop_size=56)
+    va = ValenceArousalLoss(regressor=reg)
+    clip_enc = create_clip_image_encoder(
+        k2, width=64, layers=2, heads=2, patch_size=16, input_resolution=64, output_dim=32)
+    models = P.models_of(va, clip_enc)
+
+    image = jax.random.uniform(k3, (1, 48, 48, 3))
+    feats = clip_enc.embed_normalized(image)
+    ctx = P.EditContext(image=image, target=jnp.asarray([[0.6, 0.4]]),
+                        clip_features=feats)
+    x = CH.pack_params(CH.init_params(jnp.float32)) + 0.01
+
+    base = ParamEditConfig(optimize=OptimizeConfig(num_steps=2),
+                           input_size=48, crop_size=48)
+    obj_plain = P.make_objective(va, clip_enc, base)
+    obj_remat = P.make_objective(va, clip_enc,
+                                 dataclasses.replace(base, remat=True))
+    l0, g0 = jax.value_and_grad(obj_plain)(x, ctx, models)
+    l1, g1 = jax.value_and_grad(obj_remat)(x, ctx, models)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-5, atol=1e-7)

@@ -342,3 +342,163 @@ def run_edit(image, alpha, va_model, clip_model, num_steps=30, lr=0.05,
         opt.step()
         losses.append(float(loss))
     return best_x, np.asarray(losses), va0.numpy(), target.numpy()
+
+
+# ---------------------------------------------------------------------------
+# Inception-v3 twin (torchvision module naming; optional pytorch-fid pooling
+# variant) for the FID feature-extractor converter parity test.
+# ---------------------------------------------------------------------------
+
+
+class _IncConv(nn.Module):
+    """torchvision BasicConv2d: conv(bias=False) + BN(eps=1e-3) + relu."""
+
+    def __init__(self, cin, cout, **kw):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, bias=False, **kw)
+        self.bn = nn.BatchNorm2d(cout, eps=0.001)
+
+    def forward(self, x):
+        return TF.relu(self.bn(self.conv(x)))
+
+
+def _avg3(x, fid_variant):
+    return TF.avg_pool2d(x, 3, stride=1, padding=1,
+                         count_include_pad=not fid_variant)
+
+
+class _IncA(nn.Module):
+    def __init__(self, cin, pool_features, fid_variant):
+        super().__init__()
+        self.fid_variant = fid_variant
+        self.branch1x1 = _IncConv(cin, 64, kernel_size=1)
+        self.branch5x5_1 = _IncConv(cin, 48, kernel_size=1)
+        self.branch5x5_2 = _IncConv(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = _IncConv(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _IncConv(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _IncConv(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = _IncConv(cin, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(_avg3(x, self.fid_variant))
+        return torch.cat([self.branch1x1(x), b5, bd, bp], 1)
+
+
+class _IncB(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = _IncConv(cin, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = _IncConv(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _IncConv(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _IncConv(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        return torch.cat([self.branch3x3(x), bd, TF.max_pool2d(x, 3, 2)], 1)
+
+
+class _IncC(nn.Module):
+    def __init__(self, cin, c7, fid_variant):
+        super().__init__()
+        self.fid_variant = fid_variant
+        self.branch1x1 = _IncConv(cin, 192, kernel_size=1)
+        self.branch7x7_1 = _IncConv(cin, c7, kernel_size=1)
+        self.branch7x7_2 = _IncConv(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = _IncConv(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = _IncConv(cin, c7, kernel_size=1)
+        self.branch7x7dbl_2 = _IncConv(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = _IncConv(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = _IncConv(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = _IncConv(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = _IncConv(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        bp = self.branch_pool(_avg3(x, self.fid_variant))
+        return torch.cat([self.branch1x1(x), b7, bd, bp], 1)
+
+
+class _IncD(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = _IncConv(cin, 192, kernel_size=1)
+        self.branch3x3_2 = _IncConv(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = _IncConv(cin, 192, kernel_size=1)
+        self.branch7x7x3_2 = _IncConv(192, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = _IncConv(192, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = _IncConv(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+            self.branch7x7x3_1(x))))
+        return torch.cat([b3, b7, TF.max_pool2d(x, 3, 2)], 1)
+
+
+class _IncE(nn.Module):
+    def __init__(self, cin, pool_mode, fid_variant):
+        super().__init__()
+        self.pool_mode = pool_mode
+        self.fid_variant = fid_variant
+        self.branch1x1 = _IncConv(cin, 320, kernel_size=1)
+        self.branch3x3_1 = _IncConv(cin, 384, kernel_size=1)
+        self.branch3x3_2a = _IncConv(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = _IncConv(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = _IncConv(cin, 448, kernel_size=1)
+        self.branch3x3dbl_2 = _IncConv(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = _IncConv(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = _IncConv(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = _IncConv(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        if self.pool_mode == "max":
+            bp = TF.max_pool2d(x, 3, stride=1, padding=1)
+        else:
+            bp = _avg3(x, self.fid_variant)
+        return torch.cat([self.branch1x1(x), b3, bd, self.branch_pool(bp)], 1)
+
+
+class TorchInceptionV3(nn.Module):
+    """torchvision inception_v3 (aux head omitted), with the pytorch-fid
+    pooling variant when fid_variant=True. Returns (2048-d pool feats, logits)."""
+
+    def __init__(self, num_classes=1008, fid_variant=True):
+        super().__init__()
+        fv = fid_variant
+        self.Conv2d_1a_3x3 = _IncConv(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = _IncConv(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = _IncConv(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = _IncConv(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = _IncConv(80, 192, kernel_size=3)
+        self.Mixed_5b = _IncA(192, 32, fv)
+        self.Mixed_5c = _IncA(256, 64, fv)
+        self.Mixed_5d = _IncA(288, 64, fv)
+        self.Mixed_6a = _IncB(288)
+        self.Mixed_6b = _IncC(768, 128, fv)
+        self.Mixed_6c = _IncC(768, 160, fv)
+        self.Mixed_6d = _IncC(768, 160, fv)
+        self.Mixed_6e = _IncC(768, 192, fv)
+        self.Mixed_7a = _IncD(768)
+        self.Mixed_7b = _IncE(1280, "avg", fv)
+        self.Mixed_7c = _IncE(2048, "max" if fv else "avg", fv)
+        self.fc = nn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+        x = TF.max_pool2d(x, 3, 2)
+        x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+        x = TF.max_pool2d(x, 3, 2)
+        for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a", "Mixed_6b",
+                     "Mixed_6c", "Mixed_6d", "Mixed_6e", "Mixed_7a", "Mixed_7b",
+                     "Mixed_7c"):
+            x = getattr(self, name)(x)
+        feats = x.mean(dim=(2, 3))
+        return feats, self.fc(feats)
