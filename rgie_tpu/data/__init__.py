@@ -1,5 +1,6 @@
 """Data layer: caption-feed + COCO datasets, host preprocessing, prefetch."""
 
+from rgie_tpu.data.augmentor import Augmentor
 from rgie_tpu.data.dataset import (
     CaptionFeedDataset,
     ImageDirectoryDataset,

@@ -64,6 +64,46 @@ def max_pool_same_as_torch(x: jnp.ndarray) -> jnp.ndarray:
         padding=((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
+class StemConv(nn.Module):
+    """The 7x7/2 RGB stem conv, rewritten via space-to-depth when shapes
+    allow: zero-pad the kernel to 8x8, fold 2x2 input blocks into channels
+    (C=3 -> 12), and run a DENSE stride-1 4x4 conv. Identical math (the added
+    taps multiply zeros), but the input GRADIENT becomes a well-laid-out
+    stride-1 conv instead of the pathological 3-channel stride-2 transposed
+    conv the device trace showed at 10 TF/s / 7.7%% of the edit step.
+
+    Param tree matches nn.Conv ("kernel", HWIO 7x7x3xF) so torchvision
+    checkpoints convert unchanged (utils.torch_convert.convert_resnet50)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, cin, self.features))
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        b, h, w, _ = x.shape
+        if h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x, k, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # space-to-depth: pad (3,5) -> even extent covering every 8-wide window
+        k8 = jnp.pad(k, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        k4 = k8.reshape(4, 2, 4, 2, cin, self.features).transpose(
+            0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin, self.features)
+        xp = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, 0)))
+        hp, wp = h + 8, w + 8
+        xs = xp.reshape(b, hp // 2, 2, wp // 2, 2, cin).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2, 4 * cin)
+        y = jax.lax.conv_general_dilated(
+            xs, k4, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y[:, :h // 2, :w // 2, :]
+
+
 class ResNet(nn.Module):
     """torchvision-compatible ResNet. stage_sizes=[3,4,6,3] => ResNet-50."""
 
@@ -78,8 +118,7 @@ class ResNet(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
 
-        x = conv(self.num_filters, (7, 7), strides=(2, 2),
-                 padding=((3, 3), (3, 3)), use_bias=False, name="conv1")(x)
+        x = StemConv(self.num_filters, dtype=self.dtype, name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = max_pool_same_as_torch(x)

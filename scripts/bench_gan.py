@@ -42,8 +42,10 @@ def main():
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
-    reg = create_regressor(k1, dtype=dtype)
-    va_loss = ValenceArousalLoss(regressor=reg, is_input_range_0_1=False)
+    # GAN path scores [-1,1] images: normalize=False (loader.load_va_loss's
+    # is_input_range_0_1=False analog for random weights).
+    reg = create_regressor(k1, normalize=False, dtype=dtype)
+    va_loss = ValenceArousalLoss(regressor=reg)
     gen = create_generator(k2, MunitGenConfig(), image_size=args.size, dtype=dtype)
 
     cfg = GanEditConfig(

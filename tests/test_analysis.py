@@ -145,3 +145,47 @@ def test_compound_and_stats_utils():
     assert stats["pos_01"]["delta_arousal"][0] == pytest.approx(-0.1)
     d = cohen_d([1, 2, 3, 4], [3, 4, 5, 6])
     assert d == pytest.approx(-1.549, abs=0.01)
+
+
+def test_augmentor_full_surface():
+    """The imaginaire Augmentor key set (reference data.py:93-176) end to end:
+    every supported key transforms a float image without leaving [0,1] or
+    breaking shape expectations."""
+    import numpy as np
+
+    from rgie_tpu.data.augmentor import Augmentor
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (40, 56, 3)).astype(np.float32)
+
+    aug = Augmentor({
+        "resize_smallest_side": 48,
+        "random_resize_h_w_aspect": "44,44(0.9,1.1)",
+        "rotate": 10,
+        "random_rotate_90": True,
+        "random_scale_limit": 0.2,
+        "random_crop_h_w": "32,32",
+        "horizontal_flip": True,
+        "contrast": {"brightness_limit": 0.2, "contrast_limit": 0.2, "p": 1.0},
+        "blur": {"blur_limit": 5, "p": 1.0},
+        "motion_blur": {"blur_limit": 5, "p": 1.0},
+        "compression": {"quality_lower": 60, "p": 1.0},
+        "gamma": {"gamma_limit_lb": 80, "gamma_limit_ub": 120, "p": 1.0},
+    })
+    out = aug(img, rng)
+    assert out.shape == (32, 32, 3)
+    assert out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+    # deterministic keys only
+    out2 = Augmentor({"resize_h_w": "24,20", "center_crop_h_w": "16,16"})(img, rng)
+    assert out2.shape == (16, 16, 3)
+    # rotate-90 determinism under a fixed generator
+    a = Augmentor({"random_rotate_90": True})
+    r1 = a(img, np.random.default_rng(7))
+    r2 = a(img, np.random.default_rng(7))
+    assert np.array_equal(r1, r2)
+    # unknown key raises like the reference
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Augmentor({"nope": 1})(img, rng)

@@ -248,3 +248,21 @@ def test_chain_jit_compiles(rng):
     f = jax.jit(lambda x: CH.edit_image(im, x, input_size=16))
     out = f(x0)
     assert out.shape == im.shape
+
+
+def test_blur_matmul_path_matches_depthwise():
+    """The MXU banded-matmul blur must equal the depthwise-conv formulation
+    bit-for-bit up to reassociation (same taps, same reflect border)."""
+    import numpy as np
+
+    from rgie_tpu.ops import filters as F
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 48, 64, 3)).astype(np.float32))
+    for p in (0.0, 0.7, 2.5):
+        new = F.apply_gaussian_blur(img, jnp.asarray(p))
+        g = F.gaussian_kernel1d(jnp.maximum(jnp.asarray(p), 0.0), 25, img.dtype)
+        padded = F._pad_reflect(img, 12, 12)
+        old = jnp.clip(F._depthwise_conv(F._depthwise_conv(padded, g[:, None]),
+                                         g[None, :]), 0, 1)
+        assert float(jnp.max(jnp.abs(new - old))) < 1e-6

@@ -158,3 +158,25 @@ def test_load_va_loss_dispatch(key, rng):
     out = emo.predict_loss_metric(jnp.asarray(
         rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)))
     assert out.shape == (1, 1)
+
+
+def test_stem_conv_space_to_depth_parity(key):
+    """StemConv's space-to-depth rewrite == plain 7x7/2 pad-3 conv (and the
+    odd-size fallback hits the plain path exactly)."""
+    import numpy as np
+
+    from rgie_tpu.models.resnet import StemConv
+
+    rng = np.random.default_rng(0)
+    m = StemConv(64)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    v = m.init(key, x)
+    k = v["params"]["kernel"]
+    assert k.shape == (7, 7, 3, 64)  # converter-compatible param layout
+    ref = jax.lax.conv_general_dilated(x, k, (2, 2), ((3, 3), (3, 3)),
+                                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert float(jnp.max(jnp.abs(m.apply(v, x) - ref))) < 1e-5
+    x_odd = x[:, :63, :63, :]
+    ref_odd = jax.lax.conv_general_dilated(x_odd, k, (2, 2), ((3, 3), (3, 3)),
+                                           dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert float(jnp.max(jnp.abs(m.apply(v, x_odd) - ref_odd))) == 0.0
