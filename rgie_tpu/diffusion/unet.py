@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -137,6 +138,40 @@ class ResnetBlock(nn.Module):
         return x + h
 
 
+#: Pallas flash-attention toggle for the UNet's SELF-attention layers
+#: (env RGIE_FLASH_ATTN: "auto"|"1"|"0"). "auto" = on whenever the backend is
+#: a real TPU AND the sequence is long enough to need it. The naive einsum
+#: formulation materializes a (B, heads, N, N) f32 score matrix — 1 GB per
+#: image/head at N=16384 (1024px VAE decode / SDXL top self-attn) — while the
+#: Pallas kernel streams K/V blocks through VMEM (fwd + custom bwd, so NTO's
+#: grad-through-UNet works). Threshold n >= 8192: MEASURED on v5e (scripts/
+#: check_flash_attn.py 2026-08) the SD2.1 UNet fwd at n<=4096 is 0.75x with
+#: flash (54 -> 72 ms) — XLA's fused attention wins where the score matrix
+#: fits — so flash is reserved for the shapes where einsum either OOMs or
+#: thrashes HBM. Cross-attention (M = 77 text tokens) always stays on the
+#: einsum path: its score matrix is tiny and flash block shapes don't
+#: divide 77.
+FLASH_ATTN = os.environ.get("RGIE_FLASH_ATTN", "auto")
+
+
+def _flash_self_attention_ok(n: int, m: int, dim_head: int) -> bool:
+    if FLASH_ATTN == "0":
+        return False
+    if n != m or n < 8192 or n % 512 or dim_head % 8:
+        return False
+    # The Pallas kernel has no CPU lowering: hard-disable (even when forced
+    # "1") whenever lowering targets CPU — either the backend is CPU or we
+    # are under jax.default_device(cpu), the big-model CPU-side init path
+    # (scripts/adapt_images.py:98). Trace-time check; apply() on the TPU
+    # re-traces outside the context and takes the flash path.
+    if jax.default_backend() == "cpu":
+        return False
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", None) == "cpu":
+        return False
+    return True
+
+
 class CrossAttention(nn.Module):
     query_dim: int
     heads: int
@@ -155,9 +190,18 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, n, self.heads, self.dim_head)
         k = k.reshape(b, m, self.heads, self.dim_head)
         v = v.reshape(b, m, self.heads, self.dim_head)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / math.sqrt(self.dim_head)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
+        if _flash_self_attention_ok(n, m, self.dim_head):
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention)
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                sm_scale=1.0 / math.sqrt(self.dim_head))
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / math.sqrt(self.dim_head)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 

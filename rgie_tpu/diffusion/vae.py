@@ -13,13 +13,14 @@ the default here — reproducible edits) and `sample` with an explicit PRNG key.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rgie_tpu.diffusion.unet import GroupNorm32
+from rgie_tpu.diffusion.unet import GroupNorm32, _flash_self_attention_ok
 
 SD_SCALING = 0.18215
 SDXL_SCALING = 0.13025
@@ -80,8 +81,18 @@ class VaeAttention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
-        attn = jax.nn.softmax(jnp.einsum("bnc,bmc->bnm", q, k) / jnp.sqrt(c), axis=-1)
-        y = jnp.einsum("bnm,bmc->bnc", attn, v)
+        n = h * w
+        if _flash_self_attention_ok(n, n, c):
+            # Single-head flash attention: the einsum form materializes an
+            # (N, N) score matrix — 1 GB per image at 1024px decode (N=16384).
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention)
+            y = flash_attention(q[:, None], k[:, None], v[:, None],
+                                sm_scale=1.0 / math.sqrt(c))[:, 0]
+        else:
+            attn = jax.nn.softmax(
+                jnp.einsum("bnc,bmc->bnm", q, k) / jnp.sqrt(c), axis=-1)
+            y = jnp.einsum("bnm,bmc->bnc", attn, v)
         y = nn.Dense(c, dtype=self.dtype, name="to_out")(y)
         return x + y.reshape(b, h, w, c)
 

@@ -12,6 +12,7 @@ stats.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Callable, Sequence, Tuple
 
@@ -64,13 +65,21 @@ def max_pool_same_as_torch(x: jnp.ndarray) -> jnp.ndarray:
         padding=((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
+#: Space-to-depth stem rewrite toggle (env RGIE_STEM_S2D=1). Default OFF:
+#: it made the single-image f32 edit ~15%% faster (stem bwd 7.7%% -> ~1%%)
+#: but the batch-8 bf16 edit step 1.8x SLOWER — the 6D (..,2,2,C) transposes
+#: it inserts are lane-hostile on TPU and broke fusion of the ten-crop
+#: concatenate's backward split (device trace: transpose(jvp())/split went
+#: from fused to 57.6 ms/step). Measured both ways on-chip 2026-08.
+S2D = os.environ.get("RGIE_STEM_S2D", "0") == "1"
+
+
 class StemConv(nn.Module):
-    """The 7x7/2 RGB stem conv, rewritten via space-to-depth when shapes
-    allow: zero-pad the kernel to 8x8, fold 2x2 input blocks into channels
-    (C=3 -> 12), and run a DENSE stride-1 4x4 conv. Identical math (the added
-    taps multiply zeros), but the input GRADIENT becomes a well-laid-out
-    stride-1 conv instead of the pathological 3-channel stride-2 transposed
-    conv the device trace showed at 10 TF/s / 7.7%% of the edit step.
+    """The 7x7/2 RGB stem conv, optionally (S2D flag above) rewritten via
+    space-to-depth: zero-pad the kernel to 8x8, fold 2x2 input blocks into
+    channels (C=3 -> 12), and run a DENSE stride-1 4x4 conv. Identical math
+    (the added taps multiply zeros); turns the stem's input gradient from a
+    3-channel stride-2 transposed conv into a stride-1 conv.
 
     Param tree matches nn.Conv ("kernel", HWIO 7x7x3xF) so torchvision
     checkpoints convert unchanged (utils.torch_convert.convert_resnet50)."""
@@ -86,7 +95,7 @@ class StemConv(nn.Module):
         x = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
         b, h, w, _ = x.shape
-        if h % 2 or w % 2:
+        if h % 2 or w % 2 or not S2D:
             return jax.lax.conv_general_dilated(
                 x, k, (2, 2), ((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))

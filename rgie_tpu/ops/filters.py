@@ -134,24 +134,28 @@ def gaussian_kernel1d(sigma, size: int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _reflect_band_indices(size: int, ksize: int) -> np.ndarray:
-    """(K, size) input index per (tap, output position) under kornia's reflect
-    border: m < 0 -> -m, m >= size -> 2*size-2-m."""
+def _reflect_shift_masks(size: int, ksize: int) -> np.ndarray:
+    """(K, size, size) 0/1 masks M[k, i, reflect(i+k-pad)] = 1 under kornia's
+    reflect border (m < 0 -> -m, m >= size -> 2*size-2-m). Trace-time
+    constants; a few MB at edit resolutions."""
     m = np.arange(size)[None, :] + np.arange(ksize)[:, None] - ksize // 2
     m = np.where(m < 0, -m, m)
     m = np.where(m >= size, 2 * size - 2 - m, m)
-    return m
+    masks = np.zeros((ksize, size, size), np.float32)
+    k_ix = np.repeat(np.arange(ksize), size)
+    i_ix = np.tile(np.arange(size), ksize)
+    np.add.at(masks, (k_ix, i_ix, m.reshape(-1)), 1.0)
+    return masks
 
 
 def _band_matrix(g: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Banded (size, size) matrix T with T[i, reflect(i+k-pad)] += g[k]: the
-    1D reflect-padded correlation as a dense matmul operand. Built by a TINY
-    scatter-add (K*size elements) each step since g is sigma-dependent."""
-    ksize = g.shape[0]
-    idx = jnp.asarray(_reflect_band_indices(size, int(ksize)))
-    rows = jnp.broadcast_to(jnp.arange(size)[None, :], idx.shape)
-    return jnp.zeros((size, size), g.dtype).at[rows, idx].add(
-        jnp.broadcast_to(g[:, None], idx.shape))
+    """Banded (size, size) matrix T = sum_k g[k] * M_k: the 1D reflect-padded
+    correlation as a dense matmul operand. Built as a tensordot over constant
+    shift masks — NO scatter: a sigma-dependent scatter build measured
+    catastrophic under vmap (batched scatter unrolls on TPU; the batch-8
+    bf16 edit step regressed 2x before this formulation)."""
+    masks = jnp.asarray(_reflect_shift_masks(size, int(g.shape[0])))
+    return jnp.tensordot(g, masks.astype(g.dtype), axes=1)
 
 
 def apply_gaussian_blur(image: jnp.ndarray, p, kernel_size: int = 25) -> jnp.ndarray:

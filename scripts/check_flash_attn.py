@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""On-chip parity + timing check for the UNet's Pallas flash self-attention
+path (rgie_tpu/diffusion/unet.py, RGIE_FLASH_ATTN). Runs fwd and grad of both
+formulations on identical inputs, asserts closeness, and times an SD2.1-scale
+UNet forward with flash on vs off.
+
+Must run on a real TPU (the Pallas kernel has no CPU lowering).
+"""
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rgie_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+
+
+def check_parity(b=2, h=5, n=4096, d=64, dtype=jnp.bfloat16):
+    print(f"parity b={b} h={h} n={n} d={d} {dtype.__name__}")
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (b, h, n, d), dtype)
+    k = jax.random.normal(k2, (b, h, n, d), dtype)
+    v = jax.random.normal(k3, (b, h, n, d), dtype)
+
+    def ref(q, k, v):
+        a = jnp.einsum("bhnd,bhmd->bhnm", q, k) / math.sqrt(d)
+        a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(dtype)
+        return jnp.einsum("bhnm,bhmd->bhnd", a, v)
+
+    def fl(q, k, v):
+        return flash_attention(q, k, v, sm_scale=1.0 / math.sqrt(d))
+
+    o_ref = jax.jit(ref)(q, k, v)
+    o_fl = jax.jit(fl)(q, k, v)
+    err = float(jnp.max(jnp.abs(o_ref.astype(jnp.float32) - o_fl.astype(jnp.float32))))
+    print(f"fwd max abs err: {err:.5f}")
+    assert err < 0.06, err  # bf16 inputs; f32 accumulation both sides
+
+    gref = jax.jit(jax.grad(lambda q, k, v: jnp.sum(ref(q, k, v).astype(jnp.float32) ** 2), (0, 1, 2)))
+    gfl = jax.jit(jax.grad(lambda q, k, v: jnp.sum(fl(q, k, v).astype(jnp.float32) ** 2), (0, 1, 2)))
+    for a, bb, name in zip(gref(q, k, v), gfl(q, k, v), "qkv"):
+        e = float(jnp.max(jnp.abs(a.astype(jnp.float32) - bb.astype(jnp.float32))))
+        rel = e / (float(jnp.max(jnp.abs(a.astype(jnp.float32)))) + 1e-9)
+        print(f"grad d{name} max abs err: {e:.4f} (rel {rel:.4f})")
+        assert rel < 0.05, (name, e, rel)
+    print("PARITY_OK")
+
+
+def time_unet(flash: bool, runs=10):
+    os.environ["RGIE_FLASH_ATTN"] = "1" if flash else "0"
+    import importlib
+
+    from rgie_tpu.diffusion import unet as unet_mod
+    importlib.reload(unet_mod)
+
+    cfg = unet_mod.UNetConfig.sd21()
+    model, variables = unet_mod.create_unet(jax.random.PRNGKey(0), cfg,
+                                            sample_hw=64, context_len=77,
+                                            dtype=jnp.bfloat16)
+    lat = jnp.zeros((2, 64, 64, 4), jnp.bfloat16)
+    t = jnp.array([500.0] * 2)
+    ctx = jnp.zeros((2, 77, cfg.cross_attention_dim), jnp.bfloat16)
+
+    @jax.jit
+    def fwd(v, lat, t, ctx):
+        out, _ = model.apply(v, lat, t, ctx)
+        return jnp.sum(out.astype(jnp.float32))
+
+    t0 = time.time(); float(fwd(variables, lat, t, ctx)); compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(runs):
+        float(fwd(variables, lat, t, ctx))
+    dt = (time.time() - t0) / runs
+    print(f"flash={flash}: UNet fwd {dt * 1e3:.2f} ms (compile {compile_s:.1f}s)")
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-timing", action="store_true")
+    args = ap.parse_args()
+    check_parity()                      # UNet self-attn regime (multi-head d=64)
+    check_parity(b=1, h=1, n=4096, d=512)  # VAE mid-block regime (1 head, d=512)
+    if not args.skip_timing:
+        d0 = time_unet(False)
+        d1 = time_unet(True)
+        print(f"speedup: {d0 / d1:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

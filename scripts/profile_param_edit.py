@@ -51,7 +51,12 @@ def parse_trace(logdir: str, top: int = 25):
         tkey = next(k for k in ("Total self-time (us)", "total_self_time",
                                 "Total self time in us", "selfTimeUs",
                                 "Total self-time (μs)") if k in idx)
-        nkey = next(k for k in ("Operation", "Op name", "operation") if k in idx)
+        nkey = next(k for k in ("Operation Name", "Operation", "Op name",
+                                "operation") if k in idx)
+        hkey = next((k for k in ("Host/device", "host_or_device") if k in idx),
+                    None)
+        if hkey is not None:
+            rows = [r for r in rows if r[idx[hkey]] == "Device"]
         rows.sort(key=lambda r: -(r[idx[tkey]] or 0))
         total = sum(r[idx[tkey]] or 0 for r in rows)
         print(f"{'self us':>12}  {'%':>5}  op")

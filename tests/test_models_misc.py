@@ -160,13 +160,15 @@ def test_load_va_loss_dispatch(key, rng):
     assert out.shape == (1, 1)
 
 
-def test_stem_conv_space_to_depth_parity(key):
-    """StemConv's space-to-depth rewrite == plain 7x7/2 pad-3 conv (and the
-    odd-size fallback hits the plain path exactly)."""
+def test_stem_conv_space_to_depth_parity(key, monkeypatch):
+    """StemConv's space-to-depth rewrite (RGIE_STEM_S2D path) == plain 7x7/2
+    pad-3 conv (and the odd-size fallback hits the plain path exactly)."""
     import numpy as np
 
+    from rgie_tpu.models import resnet as resnet_mod
     from rgie_tpu.models.resnet import StemConv
 
+    monkeypatch.setattr(resnet_mod, "S2D", True)
     rng = np.random.default_rng(0)
     m = StemConv(64)
     x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
@@ -180,3 +182,6 @@ def test_stem_conv_space_to_depth_parity(key):
     ref_odd = jax.lax.conv_general_dilated(x_odd, k, (2, 2), ((3, 3), (3, 3)),
                                            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     assert float(jnp.max(jnp.abs(m.apply(v, x_odd) - ref_odd))) == 0.0
+    # default path (S2D off) is the plain conv bit-exactly
+    monkeypatch.setattr(resnet_mod, "S2D", False)
+    assert float(jnp.max(jnp.abs(m.apply(v, x) - ref))) == 0.0
