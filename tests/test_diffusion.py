@@ -311,3 +311,29 @@ def test_adapter_orchestration(tmp_path, key, rng):
     assert label in outputs
     assert (tmp_path / label / "img.jpg").exists()
     assert np.all(np.isfinite(np.asarray(outputs[label])))
+
+
+def test_flash_attention_gate_cpu():
+    """The Pallas flash-attention gate (unet._flash_self_attention_ok) must be
+    closed on CPU lowering (no CPU kernel exists) and only open for the long
+    self-attention shapes where the einsum score matrix stops fitting."""
+    from rgie_tpu.diffusion import unet as U
+
+    # CPU backend (forced by conftest): closed regardless of shape or force.
+    assert not U._flash_self_attention_ok(16384, 16384, 64)
+    try:
+        U.FLASH_ATTN = "1"
+        assert not U._flash_self_attention_ok(16384, 16384, 64)
+    finally:
+        U.FLASH_ATTN = "auto"
+    # Shape gating (checked before any backend consideration).
+    assert not U._flash_self_attention_ok(16384, 77, 64)     # cross-attn
+    assert not U._flash_self_attention_ok(4096, 4096, 64)    # einsum faster
+    assert not U._flash_self_attention_ok(16384, 16384, 65)  # lane-misaligned
+    assert not U._flash_self_attention_ok(16000, 16000, 64)  # not /512
+    # Forced off always wins.
+    try:
+        U.FLASH_ATTN = "0"
+        assert not U._flash_self_attention_ok(16384, 16384, 64)
+    finally:
+        U.FLASH_ATTN = "auto"
