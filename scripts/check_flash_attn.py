@@ -91,6 +91,12 @@ def main():
     args = ap.parse_args()
     check_parity()                      # UNet self-attn regime (multi-head d=64)
     check_parity(b=1, h=1, n=4096, d=512)  # VAE mid-block regime (1 head, d=512)
+    # The n=16384 cases are the ones the n>=8192 production gate actually
+    # routes to flash (1024px VAE decode / SDXL top self-attention); the
+    # einsum reference here needs a 1 GB f32 score matrix, which a single
+    # v5e chip can still hold for a parity check at batch 1.
+    check_parity(b=1, h=2, n=16384, d=64)
+    check_parity(b=1, h=1, n=16384, d=512)
     if not args.skip_timing:
         d0 = time_unet(False)
         d1 = time_unet(True)

@@ -3,8 +3,9 @@
 top ops by self time (xprof). Drives the same program as bench.py but with a
 short scan so the trace stays small.
 
-Usage: python scripts/profile_param_edit.py [--steps 10] [--batch 8]
-       [--logdir /tmp/rgie_trace] [--parse-only]
+Usage: python scripts/profile_param_edit.py [--workload param|gan]
+       [--steps 10] [--batch 8] [--size N] [--logdir /tmp/rgie_trace]
+       [--parse-only]
 """
 
 import argparse
@@ -70,8 +71,11 @@ def parse_trace(logdir: str, top: int = 25):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workload", choices=("param", "gan"), default="param")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=None,
+                    help="image size (default: 256 param / 512 gan)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--logdir", default="/tmp/rgie_trace")
@@ -87,23 +91,42 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from rgie_tpu.config import OptimizeConfig, ParamEditConfig
-    from rgie_tpu.engine import parametric as P
-    from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
-    from rgie_tpu.models.clip import create_clip_image_encoder
-    from rgie_tpu.models.emotion import create_regressor
-
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
-    regressor = create_regressor(k1, dtype=dtype)
-    va_loss = ValenceArousalLoss(regressor=regressor)
-    clip_enc = create_clip_image_encoder(k2, dtype=dtype)
-    cfg = ParamEditConfig(optimize=OptimizeConfig(num_steps=args.steps,
-                                                  learning_rate=0.05),
-                          remat=args.remat)
-    edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg))
-    models = P.models_of(va_loss, clip_enc)
-    images = jax.random.uniform(k3, (args.batch, 256, 256, 3))
+    if args.workload == "gan":
+        from rgie_tpu.config import GanEditConfig, MunitGenConfig, OptimizeConfig
+        from rgie_tpu.engine import gan as GE
+        from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
+        from rgie_tpu.models.emotion import create_regressor
+        from rgie_tpu.models.munit import create_generator
+
+        size = args.size or 512
+        reg = create_regressor(k1, normalize=False, dtype=dtype)
+        va_loss = ValenceArousalLoss(regressor=reg)
+        gen = create_generator(k2, MunitGenConfig(), image_size=size, dtype=dtype)
+        cfg = GanEditConfig(optimize=OptimizeConfig(num_steps=args.steps,
+                                                    learning_rate=0.05),
+                            input_size=size, crop_size=size, remat=args.remat)
+        edit = jax.jit(GE.make_batched_edit(gen, va_loss, cfg))
+        models = GE.models_of(gen, va_loss)
+        images = jax.random.uniform(k3, (args.batch, size, size, 3)) * 2 - 1
+    else:
+        from rgie_tpu.config import OptimizeConfig, ParamEditConfig
+        from rgie_tpu.engine import parametric as P
+        from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
+        from rgie_tpu.models.clip import create_clip_image_encoder
+        from rgie_tpu.models.emotion import create_regressor
+
+        size = args.size or 256
+        regressor = create_regressor(k1, dtype=dtype)
+        va_loss = ValenceArousalLoss(regressor=regressor)
+        clip_enc = create_clip_image_encoder(k2, dtype=dtype)
+        cfg = ParamEditConfig(optimize=OptimizeConfig(num_steps=args.steps,
+                                                      learning_rate=0.05),
+                              remat=args.remat)
+        edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg))
+        models = P.models_of(va_loss, clip_enc)
+        images = jax.random.uniform(k3, (args.batch, size, size, 3))
     alphas = jnp.full((args.batch, 2), 0.1)
 
     def run():
