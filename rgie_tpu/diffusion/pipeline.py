@@ -33,7 +33,7 @@ from rgie_tpu.config import AdaptConfig, GuidanceConfig
 from rgie_tpu.diffusion import schedulers as SCH
 from rgie_tpu.diffusion.schedulers import DiffusionSchedule
 from rgie_tpu.diffusion.unet import UNet2DCondition
-from rgie_tpu.diffusion.vae import AutoencoderKL
+from rgie_tpu.diffusion.vae import AutoencoderKL, decode_tiled, encode_tiled
 from rgie_tpu.models.midu import ValenceArousalMidu
 
 
@@ -67,6 +67,13 @@ class InversionResamplingPipeline:
     # activation footprint, which is what gates the batch size of the batched
     # edit (SURVEY §7.3 memory cliff).
     remat_unet: bool = False
+    # Tiled VAE transport (diffusers enable_tiling analog, vae.decode_tiled/
+    # encode_tiled): latent tile size, or None for whole-image VAE. At
+    # SDXL-1024 the full-res decoder activations do not fit one chip next to
+    # the UNet; tiles run sequentially via lax.map. Stride defaults to 3/4
+    # of the tile (25% crossfaded overlap), diffusers' overlap_factor.
+    vae_tile: Optional[int] = None
+    vae_tile_stride: Optional[int] = None
 
     # -- UNet call helper ---------------------------------------------------
 
@@ -99,14 +106,25 @@ class InversionResamplingPipeline:
         to [-1,1] via the diffusers image processor
         (...StableDiffusionPipeline.py:147-150)."""
         x = image * 2.0 - 1.0
-        lat = self.vae.apply(params.vae, x, key, method=AutoencoderKL.encode)
+        if self.vae_tile is not None:
+            lat = encode_tiled(self.vae, params.vae, x, key, tile=self.vae_tile,
+                               stride=self._vae_stride())
+        else:
+            lat = self.vae.apply(params.vae, x, key, method=AutoencoderKL.encode)
         # Scheduler math runs in f32 regardless of the VAE compute dtype (the
         # scan carries and DDIM alphas stay f32; the UNet casts internally).
         return lat.astype(jnp.float32)
 
+    def _vae_stride(self) -> int:
+        return self.vae_tile_stride or max((self.vae_tile * 3) // 4, 1)
+
     def decode_latents(self, params: PipelineParams, latents: jnp.ndarray) -> jnp.ndarray:
         """latents -> images in [0,1] (diff_utils.decode_latents:109-119)."""
-        img = self.vae.apply(params.vae, latents, method=AutoencoderKL.decode)
+        if self.vae_tile is not None:
+            img = decode_tiled(self.vae, params.vae, latents, tile=self.vae_tile,
+                               stride=self._vae_stride())
+        else:
+            img = self.vae.apply(params.vae, latents, method=AutoencoderKL.decode)
         return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
     # -- inversion ----------------------------------------------------------

@@ -160,6 +160,11 @@ class AutoencoderKL(nn.Module):
     cfg: VaeConfig = VaeConfig()
     dtype: Any = jnp.float32
 
+    @property
+    def upscale_factor(self) -> int:
+        """Image px per latent px (8 for the SD family)."""
+        return 2 ** (len(self.cfg.block_out_channels) - 1)
+
     def setup(self):
         self.encoder = Encoder(self.cfg, self.dtype)
         self.decoder = Decoder(self.cfg, self.dtype)
@@ -191,3 +196,114 @@ def create_vae(key, cfg: VaeConfig = VaeConfig.tiny(), image_hw: int = 32,
     model = AutoencoderKL(cfg, dtype)
     variables = model.init(key, jnp.zeros((1, image_hw, image_hw, cfg.in_channels), dtype))
     return model, variables
+
+
+# ---------------------------------------------------------------------------
+# Tiled VAE transport (the diffusers `enable_tiling` analog, diffusers
+# autoencoder_kl.py tiled_decode/tiled_encode). One v5e chip cannot hold the
+# full-resolution decoder activations at SDXL-1024 alongside a 2.6B UNet;
+# tiling runs the VAE over fixed-size tiles SEQUENTIALLY (lax.map — the
+# stacked tile axis is the memory knob) and crossfades tile borders.
+#
+# TPU-first differences from diffusers: tile grid positions are STATIC
+# (trace-time python ints; the last tile is clamped to the canvas, never
+# shape-varying), and blending is a symmetric linear crossfade via a
+# per-tile weight mask accumulated into the canvas — pixels on a tile's cut
+# edge (polluted by the conv zero-padding) get weight exactly 0. Like the
+# diffusers implementation this is an approximation at seams: each tile runs
+# its own mid-block attention. Defaults match diffusers' 512px tiles with
+# 25% overlap (tile_latent_min_size=64, overlap_factor 0.25).
+
+def tile_positions(extent: int, tile: int, stride: int) -> list:
+    """Static tile start offsets covering [0, extent); last tile clamped."""
+    if extent <= tile:
+        return [0]
+    ps = list(range(0, extent - tile + 1, stride))
+    if ps[-1] + tile < extent:
+        ps.append(extent - tile)
+    return ps
+
+
+def _edge_ramp(length: int, edge: int, ramp_lo: bool, ramp_hi: bool):
+    import numpy as np
+
+    w = np.ones((length,), np.float32)
+    e = min(edge, length)
+    if e == 0:
+        return w
+    # Linear 0 -> 1 over the overlap; the cut-edge pixel (conv zero-padding
+    # pollution) gets weight exactly 0 — its canvas position is covered at
+    # full weight by the neighbouring tile. e == 1 uses 0.5 so the two
+    # single-pixel ramps never sum to zero.
+    ramp = (np.arange(e, dtype=np.float32) / e) if e > 1 else np.array([0.5], np.float32)
+    if ramp_lo:
+        w[:e] = np.minimum(w[:e], ramp)
+    if ramp_hi:
+        w[-e:] = np.minimum(w[-e:], ramp[::-1])
+    return w
+
+
+def _stitch(tiles_list, positions, tile: int, edge: int, extent_hw, factor: int,
+            out_channels: int):
+    """Accumulate decoded/encoded tiles into a weighted canvas (static DUS)."""
+    h, w = extent_hw
+    b = tiles_list[0].shape[0]
+    dt = tiles_list[0].dtype
+    acc = jnp.zeros((b, h * factor, w * factor, out_channels), dt)
+    wacc = jnp.zeros((1, h * factor, w * factor, 1), dt)
+    i = 0
+    for y, x in positions:
+        wy = _edge_ramp(tile * factor, edge * factor, y > 0, y + tile < h)
+        wx = _edge_ramp(tile * factor, edge * factor, x > 0, x + tile < w)
+        mask = jnp.asarray((wy[:, None] * wx[None, :])[None, :, :, None], dt)
+        acc = acc.at[:, y * factor:(y + tile) * factor,
+                     x * factor:(x + tile) * factor].add(tiles_list[i] * mask)
+        wacc = wacc.at[:, y * factor:(y + tile) * factor,
+                       x * factor:(x + tile) * factor].add(mask)
+        i += 1
+    return acc / wacc
+
+
+def decode_tiled(model: AutoencoderKL, variables, latents: jnp.ndarray,
+                 tile: int = 64, stride: int = 48) -> jnp.ndarray:
+    """Scaled latents -> [-1, 1] images, decoding (tile, tile) latent tiles
+    sequentially. Bit-equal to `decode` when the latent fits one tile."""
+    b, h, w, _ = latents.shape
+    if h <= tile and w <= tile:
+        return model.apply(variables, latents, method=AutoencoderKL.decode)
+    f = model.upscale_factor
+    pos = [(y, x) for y in tile_positions(h, tile, stride)
+           for x in tile_positions(w, tile, stride)]
+    stacked = jnp.stack([latents[:, y:y + tile, x:x + tile, :] for y, x in pos])
+    dec = jax.lax.map(
+        lambda t: model.apply(variables, t, method=AutoencoderKL.decode), stacked)
+    return _stitch(list(dec), pos, tile, tile - stride, (h, w), f,
+                   model.cfg.in_channels)
+
+
+def encode_tiled(model: AutoencoderKL, variables, images: jnp.ndarray,
+                 key: Optional[jax.Array] = None, tile: int = 64,
+                 stride: int = 48) -> jnp.ndarray:
+    """[-1, 1] images -> scaled latents over (tile*f, tile*f) image tiles.
+    `tile`/`stride` are in LATENT units (matching decode_tiled)."""
+    f = model.upscale_factor
+    b, hi, wi, _ = images.shape
+    h, w = hi // f, wi // f
+    if h <= tile and w <= tile:
+        return model.apply(variables, images, key, method=AutoencoderKL.encode)
+    pos = [(y, x) for y in tile_positions(h, tile, stride)
+           for x in tile_positions(w, tile, stride)]
+    stacked = jnp.stack([images[:, y * f:(y + tile) * f, x * f:(x + tile) * f, :]
+                         for y, x in pos])
+    if key is not None:
+        keys = jax.random.split(key, len(pos))
+        enc = jax.lax.map(
+            lambda tk: model.apply(variables, tk[0], tk[1],
+                                   method=AutoencoderKL.encode),
+            (stacked, keys))
+    else:
+        enc = jax.lax.map(
+            lambda t: model.apply(variables, t, method=AutoencoderKL.encode),
+            stacked)
+    return _stitch(list(enc), pos, tile, tile - stride, (h, w), 1,
+                   model.cfg.latent_channels)

@@ -46,6 +46,10 @@ def main():
                     help="weights/compute dtype (default: bf16 for sd/sdxl "
                          "scales -- SDXL f32 params alone exceed v5e HBM)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--vae-tile", type=int, default=None,
+                    help="latent tile size for tiled VAE encode/decode "
+                         "(diffusers enable_tiling analog; e.g. 64 = 512px "
+                         "tiles, 25%% overlap). Needed for 1024px on one chip.")
     args = ap.parse_args()
 
     enable_persistent_cache()
@@ -119,7 +123,8 @@ def main():
     sched = SCH.make_schedule(args.num_steps)
     pipe = InversionResamplingPipeline(unet=unet, vae=vae, sched=sched,
                                        midu_model=midu, is_xl=is_xl,
-                                       remat_unet=args.remat)
+                                       remat_unet=args.remat,
+                                       vae_tile=args.vae_tile)
     params = PipelineParams(unet=unet_vars, vae=vae_vars, midu=midu_vars)
 
     added_cond_fn = None

@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--no-remat", dest="remat", action="store_false")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--vae-tile", type=int, default=None,
+                    help="latent tile size for tiled VAE encode/decode "
+                         "(diffusers enable_tiling analog; e.g. 64 = 512px "
+                         "tiles, 25%% overlap). Needed for 1024px on one chip.")
     args = ap.parse_args()
 
     enable_persistent_cache()
@@ -111,7 +115,8 @@ def main():
     sched = SCH.make_schedule(args.num_steps)
     pipe = InversionResamplingPipeline(unet=unet, vae=vae, sched=sched,
                                        midu_model=midu, is_xl=is_xl,
-                                       remat_unet=args.remat)
+                                       remat_unet=args.remat,
+                                       vae_tile=args.vae_tile)
     params = PipelineParams(unet=unet_vars, vae=vae_vars, midu=midu_vars)
 
     mesh = create_mesh()

@@ -337,3 +337,70 @@ def test_flash_attention_gate_cpu():
         assert not U._flash_self_attention_ok(16384, 16384, 64)
     finally:
         U.FLASH_ATTN = "auto"
+
+
+class _StubVae:
+    """Position-independent local 'decoder' (x2 nearest upsample + tanh):
+    overlapping tiles agree everywhere, so the crossfade stitch must be EXACT
+    vs whole-image application — this isolates the grid/weight machinery."""
+
+    class cfg:
+        in_channels = 3
+        latent_channels = 4
+
+    upscale_factor = 2
+
+    def apply(self, variables, x, key=None, method=None):
+        if x.shape[-1] == 4:    # "decode": latent (.., 4) -> image (.., 3)
+            y = jnp.repeat(jnp.repeat(x[..., :3], 2, axis=1), 2, axis=2)
+            return jnp.tanh(y)
+        # "encode": image (.., 3) -> latent (.., 4)
+        y = x[:, ::2, ::2, :]
+        return jnp.concatenate([y, y[..., :1]], axis=-1) * 0.5
+
+
+def test_tiled_vae_stitch_exact_for_local_op(rng):
+    from rgie_tpu.diffusion.vae import decode_tiled, encode_tiled
+
+    stub = _StubVae()
+    lat = jnp.asarray(rng.standard_normal((2, 12, 12, 4)).astype(np.float32))
+    full = stub.apply(None, lat)
+    for tile, stride in ((8, 4), (8, 6), (8, 8), (5, 3)):
+        tiled = decode_tiled(stub, None, lat, tile=tile, stride=stride)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
+                                   rtol=0, atol=1e-6)
+    img = jnp.asarray(rng.standard_normal((2, 24, 24, 3)).astype(np.float32))
+    full_e = stub.apply(None, img)
+    tiled_e = encode_tiled(stub, None, img, tile=8, stride=6)
+    np.testing.assert_allclose(np.asarray(tiled_e), np.asarray(full_e),
+                               rtol=0, atol=1e-6)
+
+
+def test_tiled_vae_passthrough_and_pipeline(key, rng):
+    """Latent <= tile: tiled == direct bit-exactly. And the pipeline-level
+    vae_tile option runs the real tiny VAE through encode+decode under jit."""
+    import dataclasses as dc
+
+    from rgie_tpu.diffusion.vae import (AutoencoderKL, VaeConfig, create_vae,
+                                        decode_tiled, encode_tiled)
+
+    model, variables = create_vae(key, VaeConfig.tiny(), image_hw=24)
+    lat = jnp.asarray(rng.standard_normal((1, 12, 12, 4)).astype(np.float32))
+    direct = model.apply(variables, lat, method=AutoencoderKL.decode)
+    assert float(jnp.max(jnp.abs(
+        decode_tiled(model, variables, lat, tile=16) - direct))) == 0.0
+
+    img = jnp.asarray(rng.uniform(-1, 1, (1, 24, 24, 3)).astype(np.float32))
+    direct_e = model.apply(variables, img, method=AutoencoderKL.encode)
+    assert float(jnp.max(jnp.abs(
+        encode_tiled(model, variables, img, tile=16) - direct_e))) == 0.0
+
+    # Real tiled path (latent 12 > tile 8) through the pipeline, jitted.
+    tiled_dec = jax.jit(lambda v, z: decode_tiled(model, v, z, tile=8, stride=6))(
+        variables, lat)
+    assert tiled_dec.shape == (1, 24, 24, 3)
+    assert np.all(np.isfinite(np.asarray(tiled_dec)))
+    tiled_enc = jax.jit(lambda v, x: encode_tiled(model, v, x, tile=8, stride=6))(
+        variables, img)
+    assert tiled_enc.shape == (1, 12, 12, 4)
+    assert np.all(np.isfinite(np.asarray(tiled_enc)))
