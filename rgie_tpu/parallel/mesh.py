@@ -67,6 +67,30 @@ def pad_to_multiple(batch: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
     return batch, n
 
 
+def model_sharding(x: jax.Array, mesh: Mesh) -> NamedSharding:
+    """Output-channel (last-axis) sharding over ``model`` for one weight
+    array, replicating anything small or non-divisible. Conv kernels (HWIO)
+    and Dense kernels (I, O) both carry output features last, so this single
+    rule tensor-parallelizes a whole flax params tree; XLA GSPMD propagates
+    the shardings and inserts the collectives (the scaling-book recipe — no
+    manual psum/all_gather)."""
+    m = mesh.shape[MODEL_AXIS]
+    if m > 1 and x.ndim >= 1 and x.shape[-1] % m == 0 and x.shape[-1] >= 2 * m:
+        return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + [MODEL_AXIS])))
+    return NamedSharding(mesh, P())
+
+
+def shard_model(tree, mesh: Mesh):
+    """Place a params pytree with weights sharded over the ``model`` axis.
+
+    This is how a model that cannot EXECUTE on one chip (e.g. the SDXL-1024
+    edit program: 5.2 GB of bf16 UNet weights plus 128x128-latent grad
+    activations crash a single 16 GB v5e worker) fits a pod slice: per-chip
+    weight memory drops by the model-axis size while the batch axis keeps
+    scaling on ``data``."""
+    return jax.tree.map(lambda x: jax.device_put(x, model_sharding(x, mesh)), tree)
+
+
 def all_mean(x, axis_name: str = DATA_AXIS):
     """Global mean across the data axis inside shard_map code — the analog of
     the reference's dist_all_reduce_tensor (distributed.py:92-105)."""

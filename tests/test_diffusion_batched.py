@@ -132,3 +132,38 @@ def test_batched_edit_remat_matches(key, rng):
     out_r = jax.jit(make_batched_edit(pipe_r, **kwargs))(params, images, empty, conds, alphas)
     np.testing.assert_allclose(np.asarray(out.edited), np.asarray(out_r.edited),
                                atol=2e-5)
+
+
+@pytest.mark.slow
+def test_batched_edit_tensor_parallel(key, rng):
+    """(data=4, model=2) mesh with UNet/VAE/midu weights output-channel
+    sharded over `model` (parallel.mesh.shard_model): GSPMD compiles/executes
+    the unchanged edit program and matches the replicated result — the fit
+    path for 1024px programs whose weights + grad activations exceed one
+    chip."""
+    from rgie_tpu.parallel import batch_sharding, create_mesh
+    from rgie_tpu.parallel.mesh import shard_model
+
+    pipe, params = _tiny_pipe(key)
+    mesh = create_mesh((4, 2))
+    batch = 4
+    images = jnp.asarray(rng.uniform(0, 1, (batch, 32, 32, 3)).astype(np.float32))
+    conds = stack_conds(_conds(rng, batch))
+    empty = jnp.zeros((1, 5, 32))
+    alphas = jnp.zeros((batch, 2), jnp.float32)
+
+    program = make_batched_edit(pipe, guidance_scale=2.0, guidance_clf_scale=0.2,
+                                use_nto=True, num_inner_steps=2)
+    ref_out = jax.jit(program)(params, images, empty, conds, alphas)
+
+    params_tp = shard_model(params, mesh)
+    # At least the 16-channel tiny weights actually split over model=2.
+    assert any(len(x.sharding.device_set) > 1
+               for x in jax.tree.leaves(params_tp))
+    sharding = batch_sharding(mesh)
+    images_s = jax.device_put(images, sharding)
+    conds_s = jax.tree.map(lambda x: jax.device_put(x, sharding), conds)
+    alphas_s = jax.device_put(alphas, sharding)
+    out = jax.jit(program)(params_tp, images_s, empty, conds_s, alphas_s)
+    np.testing.assert_allclose(np.asarray(out.edited), np.asarray(ref_out.edited),
+                               atol=1.5e-3)
