@@ -158,8 +158,11 @@ def edit_image_fused(image: jnp.ndarray, x: jnp.ndarray, input_size: int = 480,
 
     params = unpack_params(x, input_size)
     # Row-tile size must divide H (the kernel's gray-mean reduction would
-    # otherwise sum padding rows).
-    rows = next(r for r in (256, 128, 64, 32, 16, 8, 4, 2, 1)
-                if image.shape[1] % r == 0)
+    # otherwise sum padding rows) AND be 8-divisible (Mosaic block rule:
+    # sublane dim of a VMEM block must be a multiple of 8 or the whole H).
+    rows = next((r for r in (256, 128, 64, 32, 16, 8)
+                 if image.shape[1] % r == 0), None)
+    if rows is None:
+        return edit_image(image, x, input_size, order)
     out = fused_pointwise_chain(image, params, rows=rows)
     return apply_filter_chain(out, params, tuple(order[len(FUSED_PREFIX):]))

@@ -93,7 +93,10 @@ def _prefix_kernel(p_ref, r_ref, g_ref, b_ref, ro_ref, go_ref, bo_ref, gsum_ref)
     go_ref[0] = g
     bo_ref[0] = b
     gray = GRAY_WEIGHTS[0] * r + GRAY_WEIGHTS[1] * g + GRAY_WEIGHTS[2] * b
-    gsum_ref[0, 0] = jnp.sum(gray)
+    # The (B, n_tiles) sums live in SMEM as ONE whole-array block (Mosaic
+    # requires SMEM blocks be (8,128)-divisible or equal to the array dims —
+    # a (1,1) per-tile block fails to lower); each grid step writes its cell.
+    gsum_ref[pl.program_id(0), pl.program_id(1)] = jnp.sum(gray)
 
 
 @functools.partial(jax.jit, static_argnames=("rows",))
@@ -109,7 +112,7 @@ def fused_pointwise_chain(image: jnp.ndarray, params: FilterParams,
                             memory_space=pltpu.VMEM)
     p_spec = pl.BlockSpec((1, _P_LEN), lambda ib, ih: (0, 0),
                           memory_space=pltpu.SMEM)
-    sum_spec = pl.BlockSpec((1, 1), lambda ib, ih: (ib, ih),
+    sum_spec = pl.BlockSpec((b, n_tiles), lambda ib, ih: (0, 0),
                             memory_space=pltpu.SMEM)
 
     r, g, bb = image[..., 0], image[..., 1], image[..., 2]
