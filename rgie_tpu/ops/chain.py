@@ -160,7 +160,10 @@ def edit_image_fused(image: jnp.ndarray, x: jnp.ndarray, input_size: int = 480,
     # Row-tile size must divide H (the kernel's gray-mean reduction would
     # otherwise sum padding rows) AND be 8-divisible (Mosaic block rule:
     # sublane dim of a VMEM block must be a multiple of 8 or the whole H).
-    rows = next((r for r in (256, 128, 64, 32, 16, 8)
+    # 128 rows max: at W=1024 a 256-row tile's working set (6 io buffers +
+    # ~10 live HSV temporaries, f32) measured 16.05 MB — 56 KB over the
+    # 16 MB VMEM scoped limit.
+    rows = next((r for r in (128, 64, 32, 16, 8)
                  if image.shape[1] % r == 0), None)
     if rows is None:
         return edit_image(image, x, input_size, order)
