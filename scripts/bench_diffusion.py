@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--no-remat", dest="remat", action="store_false")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="capture a device trace of one steady-state run and "
+                         "print the top ops (profile_param_edit.parse_trace)")
     ap.add_argument("--vae-tile", type=int, default=None,
                     help="latent tile size for tiled VAE encode/decode "
                          "(diffusers enable_tiling analog; e.g. 64 = 512px "
@@ -193,6 +196,14 @@ def main():
     os.makedirs(os.path.dirname(art), exist_ok=True)
     with open(art, "a") as f:
         f.write(json.dumps(row) + "\n")
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            run_once()
+        print("trace captured", flush=True)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from profile_param_edit import parse_trace
+        parse_trace(args.profile)
 
 
 if __name__ == "__main__":
