@@ -140,23 +140,23 @@ def edit_image(image: jnp.ndarray, x: jnp.ndarray, input_size: int = 480,
 FUSED_PREFIX: Tuple[str, ...] = ("exposure", "saturation", "tone", "color", "contrast")
 
 
-def edit_image_fused(image: jnp.ndarray, x: jnp.ndarray, input_size: int = 480,
-                     order: Tuple[str, ...] = DEFAULT_TRANSFORMS) -> jnp.ndarray:
-    """Inference-path edit using the Pallas fused pointwise kernel for the
+def apply_filter_chain_fused(image: jnp.ndarray, params: FilterParams,
+                             order: Tuple[str, ...] = DEFAULT_TRANSFORMS
+                             ) -> jnp.ndarray:
+    """``apply_filter_chain`` with the Pallas fused pointwise kernel for the
     exposure->saturation->tone->color->contrast prefix (two HBM passes instead
-    of six), falling back to the pure-jnp chain when the order doesn't start
-    with that prefix or the platform has no Pallas TPU backend. Semantics are
-    identical to ``edit_image`` (tests diff the two); the differentiated edit
-    keeps the pure-jnp ops so autodiff stays automatic."""
+    of six; 1.39x measured at 1024px batch 8), falling back to the pure-jnp
+    chain when the order doesn't start with that prefix or the platform has
+    no Pallas TPU backend. Semantics identical (tests diff the two); the
+    differentiated edit keeps the pure-jnp ops so autodiff stays automatic."""
     if tuple(order[:len(FUSED_PREFIX)]) != FUSED_PREFIX:
-        return edit_image(image, x, input_size, order)
+        return apply_filter_chain(image, params, order)
     import jax
 
     if jax.devices()[0].platform != "tpu":
-        return edit_image(image, x, input_size, order)
+        return apply_filter_chain(image, params, order)
     from rgie_tpu.ops.pallas.pointwise_chain import fused_pointwise_chain
 
-    params = unpack_params(x, input_size)
     # Row-tile size must divide H (the kernel's gray-mean reduction would
     # otherwise sum padding rows) AND be 8-divisible (Mosaic block rule:
     # sublane dim of a VMEM block must be a multiple of 8 or the whole H).
@@ -166,6 +166,13 @@ def edit_image_fused(image: jnp.ndarray, x: jnp.ndarray, input_size: int = 480,
     rows = next((r for r in (128, 64, 32, 16, 8)
                  if image.shape[1] % r == 0), None)
     if rows is None:
-        return edit_image(image, x, input_size, order)
+        return apply_filter_chain(image, params, order)
     out = fused_pointwise_chain(image, params, rows=rows)
     return apply_filter_chain(out, params, tuple(order[len(FUSED_PREFIX):]))
+
+
+def edit_image_fused(image: jnp.ndarray, x: jnp.ndarray, input_size: int = 480,
+                     order: Tuple[str, ...] = DEFAULT_TRANSFORMS) -> jnp.ndarray:
+    """Inference-path edit: flat vector -> params -> fused chain (see
+    apply_filter_chain_fused)."""
+    return apply_filter_chain_fused(image, unpack_params(x, input_size), order)

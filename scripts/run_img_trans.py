@@ -101,7 +101,9 @@ def main():
     ttype = TransformationType[args.type]
     key = jax.random.PRNGKey(args.seed)
     params = build_params(ttype, key, jnp.float32)
-    apply_jit = jax.jit(lambda im: CH.apply_filter_chain(im, params))
+    # Inference-only batch transform: the Pallas fused pointwise prefix
+    # (falls back to the pure-jnp chain off-TPU or for non-default orders).
+    apply_jit = jax.jit(lambda im: CH.apply_filter_chain_fused(im, params))
 
     dataset = (CocoCaptionsDataset(args.data_dir, args.split) if args.dataset == "coco"
                else CaptionFeedDataset(args.data_dir))
