@@ -123,3 +123,97 @@ def test_fullstack_param_edit_parity(rng):
     np.testing.assert_allclose(delta_j, delta_t, atol=5e-3)
     rec_t = float(torch.mean(torch.abs(edited_t - image_t)))
     np.testing.assert_allclose(float(ev["rec_error"]), rec_t, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_fullstack_gan_edit_parity(rng):
+    """Shared-weight MUNIT style edit (frozen content code, Adam on the 8-dim
+    style, clf + L1 content recon — /root/reference/src/
+    optimize_image_imaginaire.py:100-145) runs in both stacks through the
+    PRODUCTION converter convert_munit_autoencoder."""
+    import torch_twin as TT
+
+    from rgie_tpu.config import GanEditConfig, MunitGenConfig, OptimizeConfig
+    from rgie_tpu.engine import gan as GE
+    from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
+    from rgie_tpu.models.emotion import EmotionRegressor
+    from rgie_tpu.models.munit import MunitGenerator
+
+    SIZE, VCROP, STEPS_G = 48, 40, 20
+    torch.manual_seed(1)
+    ae_t = TT.TorchMunitAutoEncoder(nf=8, max_nf=32, nf_mlp=16, latent=8,
+                                    res=2, d_style=3, d_content=2, mlp_blocks=2)
+    va_t = TT.TorchResNet50(num_classes=4)
+    with torch.no_grad():
+        for m in va_t.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+
+    parent = torch.nn.Module()
+    parent.autoencoder_a = ae_t
+    sd = parent.state_dict()
+    gen_vars = jax.tree.map(jnp.asarray, TC.convert_munit_autoencoder(
+        sd, domain="a", num_downsamples_content=2, num_downsamples_style=3,
+        num_res_blocks=2, num_mlp_blocks=2))
+    va_vars = jax.tree.map(jnp.asarray, TC.convert_resnet50(va_t.state_dict()))
+
+    cfg_m = MunitGenConfig(num_filters=8, max_num_filters=32,
+                           num_filters_mlp=16, num_res_blocks=2,
+                           num_downsamples_style=3, num_downsamples_content=2)
+    gen = MunitGenerator(variables_a=gen_vars, variables_b=gen_vars, cfg=cfg_m)
+    reg = EmotionRegressor(variables=va_vars, input_size=SIZE, crop_size=VCROP,
+                           normalize=False)
+    va_loss = ValenceArousalLoss(regressor=reg)
+
+    image_np = rng.uniform(-1, 1, (1, SIZE, SIZE, 3)).astype(np.float32)
+    alpha = np.asarray([0.2, 0.2], np.float32)
+
+    # ---- forward parity first (encode + decode round trip)
+    image = jnp.asarray(image_np)
+    image_t = torch.from_numpy(image_np.transpose(0, 3, 1, 2))
+    content_j, style_j = gen.encode_a(image)
+    with torch.no_grad():
+        content_t, style_t = ae_t.encode(image_t)
+        dec_t = ae_t.decode(content_t, style_t)
+    np.testing.assert_allclose(np.asarray(style_j), style_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(content_j),
+                               content_t.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-5)
+    dec_j = gen.decode_a(content_j, style_j)
+    np.testing.assert_allclose(np.asarray(dec_j),
+                               dec_t.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-3, atol=1e-4)
+
+    # ---- full edit in both stacks
+    cfg = GanEditConfig(optimize=OptimizeConfig(num_steps=STEPS_G,
+                                                learning_rate=0.05),
+                        input_size=SIZE, crop_size=SIZE,
+                        weight_clf=0.2, weight_recon=1.0)
+    edit = jax.jit(GE.make_single_edit(gen, va_loss, cfg))
+    models = GE.models_of(gen, va_loss)
+    result, edited_j = jax.block_until_ready(
+        edit(models, image, jnp.asarray(alpha)))
+
+    best_style_t, losses_t, edited_t = TT.run_gan_edit(
+        image_t, torch.from_numpy(alpha), ae_t, va_t, num_steps=STEPS_G,
+        lr=0.05, weight_clf=0.2, weight_recon=1.0,
+        input_size=SIZE, crop_size=VCROP)
+
+    losses_j = np.asarray(result.losses)
+    np.testing.assert_allclose(losses_j[0], losses_t[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(losses_j, losses_t, rtol=0.02, atol=2e-3)
+
+    # compare_emotions oracles on each stack's own edit
+    va1_j = reg(edited_j)[:, :2]
+    va0_j = reg(image)[:, :2]
+    with torch.no_grad():
+        va0_t = TT.va_predict_raw(va_t, image_t, SIZE, VCROP).numpy()
+        va1_t = TT.va_predict_raw(va_t, edited_t, SIZE, VCROP).numpy()
+    np.testing.assert_allclose(np.asarray(va0_j), va0_t, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(va1_j - va0_j), va1_t - va0_t,
+                               atol=5e-3)
+    rec_j = float(jnp.mean(jnp.abs(edited_j - image)))
+    rec_t = float(torch.mean(torch.abs(edited_t - image_t)))
+    np.testing.assert_allclose(rec_j, rec_t, atol=2e-3)

@@ -502,3 +502,191 @@ class TorchInceptionV3(nn.Module):
             x = getattr(self, name)(x)
         feats = x.mean(dim=(2, 3))
         return feats, self.fc(feats)
+
+
+# ---------------------------------------------------------------------------
+# MUNIT autoencoder twin (imaginaire module naming, so the PRODUCTION
+# converter utils.torch_convert.convert_munit_autoencoder consumes our
+# state_dict) + the full GAN style edit loop — the torch side of the
+# full-stack GAN parity test. Forward semantics mirror
+# /root/reference/src/external/imaginaire/generators/munit.py via
+# rgie_tpu/models/munit.py.
+# ---------------------------------------------------------------------------
+
+
+class _ImagConvBlock(nn.Module):
+    """imaginaire Conv2dBlock: reflect pad + conv (+norm)(+act) in an order
+    string. State keys: layers.conv.*, layers.norm.* (instance) or
+    layers.norm.fc.layers.conv.* (AdaIN)."""
+
+    def __init__(self, cin, cout, k, s, pad, norm="none", act="relu",
+                 order="CNA", style_dim=None):
+        super().__init__()
+        self.pad, self.order, self.norm_type, self.act = pad, order, norm, act
+        self.layers = nn.ModuleDict({"conv": nn.Conv2d(cin, cout, k, s)})
+        nc = cin if order.index("N") < order.index("C") else cout
+        if norm == "instance":
+            self.layers["norm"] = nn.InstanceNorm2d(nc, affine=True)
+        elif norm == "adaptive":
+            ad = nn.Module()
+            ad.fc = nn.Module()
+            ad.fc.layers = nn.ModuleDict({"conv": nn.Linear(style_dim, nc * 2)})
+            self.layers["norm"] = ad
+
+    def forward(self, x, style=None):
+        import torch.nn.functional as TF
+        for op in self.order:
+            if op == "C":
+                if self.pad:
+                    x = TF.pad(x, (self.pad,) * 4, mode="reflect")
+                x = self.layers["conv"](x)
+            elif op == "N" and self.norm_type == "instance":
+                n = self.layers["norm"]
+                x = TF.instance_norm(x, weight=n.weight, bias=n.bias, eps=1e-5)
+            elif op == "N" and self.norm_type == "adaptive":
+                y = self.layers["norm"].fc.layers["conv"](style)
+                gamma, beta = y.chunk(2, -1)
+                x = (TF.instance_norm(x, eps=1e-5) * (1 + gamma[:, :, None, None])
+                     + beta[:, :, None, None])
+            elif op == "A" and self.act == "relu":
+                x = torch.relu(x)
+            elif op == "A" and self.act == "tanh":
+                x = torch.tanh(x)
+        return x
+
+
+class _ImagResBlock(nn.Module):
+    def __init__(self, c, norm, style_dim=None, order="NACNAC"):
+        super().__init__()
+        self.conv_block_0 = _ImagConvBlock(c, c, 3, 1, 1, norm, "relu",
+                                           order[:3], style_dim)
+        self.conv_block_1 = _ImagConvBlock(c, c, 3, 1, 1, norm, "relu",
+                                           order[3:], style_dim)
+
+    def forward(self, x, style=None):
+        return x + self.conv_block_1(self.conv_block_0(x, style), style)
+
+
+class _ImagLinearBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.layers = nn.ModuleDict({"conv": nn.Linear(cin, cout)})
+
+    def forward(self, x):
+        return torch.relu(self.layers["conv"](x))
+
+
+class TorchMunitAutoEncoder(nn.Module):
+    """One MUNIT domain (imagenet2imagenet.yaml shapes, parameterized small)."""
+
+    def __init__(self, nf=8, max_nf=32, nf_mlp=16, latent=8, res=2,
+                 d_style=3, d_content=2, mlp_blocks=2):
+        super().__init__()
+        self.latent = latent
+        se = nn.Module()
+        chans, blocks = nf, [_ImagConvBlock(3, nf, 7, 1, 3)]
+        for _ in range(2):
+            blocks.append(_ImagConvBlock(chans, chans * 2, 4, 2, 1))
+            chans *= 2
+        for _ in range(d_style - 2):
+            blocks.append(_ImagConvBlock(chans, chans, 4, 2, 1))
+        blocks += [nn.AdaptiveAvgPool2d(1), nn.Conv2d(chans, latent, 1)]
+        se.model = nn.ModuleList(blocks)
+        self.style_encoder = se
+
+        ce = nn.Module()
+        chans = nf
+        blocks = [_ImagConvBlock(3, nf, 7, 1, 3, norm="instance")]
+        for _ in range(d_content):
+            blocks.append(_ImagConvBlock(chans, min(chans * 2, max_nf), 4, 2, 1,
+                                         norm="instance"))
+            chans = min(chans * 2, max_nf)
+        for _ in range(res):
+            blocks.append(_ImagResBlock(chans, "instance"))
+        ce.model = nn.ModuleList(blocks)
+        self.content_encoder = ce
+        self.content_dim = chans
+
+        dec = nn.Module()
+        blocks = [_ImagResBlock(chans, "adaptive", nf_mlp) for _ in range(res)]
+        for _ in range(d_content):
+            blocks += [nn.Upsample(scale_factor=2, mode="nearest"),
+                       _ImagConvBlock(chans, chans // 2, 5, 1, 2,
+                                      norm="adaptive", style_dim=nf_mlp)]
+            chans //= 2
+        # converter expects the output block at index res + 2*d_content + 1
+        blocks += [nn.Identity(), _ImagConvBlock(chans, 3, 7, 1, 3, act="none")]
+        dec.decoder = nn.ModuleList(blocks)
+        self.decoder = dec
+
+        mlp = nn.Module()
+        dims = [latent] + [nf_mlp] * mlp_blocks
+        mlp.model = nn.ModuleList([_ImagLinearBlock(dims[i], dims[i + 1])
+                                   for i in range(mlp_blocks)])
+        self.mlp = mlp
+
+    def encode(self, x):
+        c = x
+        for m in self.content_encoder.model:
+            c = m(c)
+        s = x
+        for m in self.style_encoder.model:
+            s = m(s)
+        return c, s.flatten(1)
+
+    def decode(self, content, style):
+        v = style
+        for m in self.mlp.model:
+            v = m(v)
+        x = content
+        for m in self.decoder.decoder:
+            x = m(x, v) if isinstance(m, (_ImagConvBlock, _ImagResBlock)) else m(x)
+        return x
+
+
+def va_predict_raw(model, im, input_size, crop_size):
+    """va_predict without the [0,1]->[-1,1] normalization (the GAN path's
+    normalize=False regressor on [-1,1] images)."""
+    assert im.shape[2] == input_size and im.shape[3] == input_size
+    offs = ten_crop_offsets(input_size, input_size, crop_size)
+    crops = torch.cat([im[:, :, t:t + crop_size, l:l + crop_size]
+                       for (t, l) in offs], 0)
+    return torch.sigmoid(model(crops)).mean(0, keepdim=True)[:, :2]
+
+
+def run_gan_edit(image, alpha, ae, va_model, num_steps=20, lr=0.05,
+                 weight_clf=0.2, weight_recon=1.0, input_size=48, crop_size=40):
+    """Full MUNIT style edit (reference optimize_image_imaginaire.py:100-145):
+    frozen content code, Adam on the 8-dim style, clf + L1 content recon.
+    image (1, 3, H, W) in [-1, 1]. Returns (best_style, losses, edited)."""
+    for p in list(ae.parameters()) + list(va_model.parameters()):
+        p.requires_grad_(False)
+    ae.eval(); va_model.eval()
+
+    with torch.no_grad():
+        content, style0 = ae.encode(image)
+        va0 = va_predict_raw(va_model, image, input_size, crop_size)
+        target = torch.clamp(va0 + alpha, 0, 1)
+
+    style = style0[0].detach().clone().requires_grad_(True)
+    opt = torch.optim.Adam([style], lr=lr)
+    losses, best_loss, best_style = [], float("inf"), style.detach().clone()
+    for step in range(num_steps):
+        img = torch.clamp(ae.decode(content, style[None]), -1, 1)
+        err = target - va_predict_raw(va_model, img, input_size, crop_size)
+        loss = weight_clf * (err * err).sum(-1).mean()
+        if weight_recon > 0:
+            content_new, _ = ae.encode(img)
+            loss = loss + weight_recon * (content_new - content).abs().mean()
+        loss_val = float(loss.detach())
+        if loss_val < best_loss:
+            best_loss, best_style = loss_val, style.detach().clone()
+        for g in opt.param_groups:
+            g["lr"] = lr_ramp(lr, step, num_steps)
+        opt.zero_grad(set_to_none=True)
+        loss.backward()
+        opt.step()
+        losses.append(loss_val)
+    with torch.no_grad():
+        edited = torch.clamp(ae.decode(content, best_style[None]), -1, 1)
+    return best_style, np.asarray(losses), edited
