@@ -73,11 +73,22 @@ def main():
     elapsed = (time.time() - t0) / args.runs
 
     n_chips = jax.device_count()
+    # torch-CPU per-step anchor (scripts/measure_torch_gan_baseline.py) —
+    # comparable when measured at the same --size.
+    vs_baseline = None
+    anchor_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "torch_gan_baseline.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        if anchor.get("size") == args.size:
+            vs_baseline = round(anchor["step_seconds"] * args.batch
+                                / (elapsed / args.num_steps), 2)
     row = {
         "metric": f"optimize_image_imaginaire {args.size}px MUNIT edit",
         "value": round(args.batch / elapsed / n_chips, 4),
         "unit": "images/sec/chip (per full edit)",
-        "vs_baseline": None,
+        "vs_baseline": vs_baseline,
         "detail": {
             "batch": args.batch, "steps": args.num_steps,
             "per_step_ms_batched": round(elapsed / args.num_steps * 1000, 2),
