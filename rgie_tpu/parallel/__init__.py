@@ -6,7 +6,9 @@ from rgie_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
     pad_to_multiple,
+    model_sharding,
     replicate,
     replicated,
     shard_batch,
+    shard_model,
 )
