@@ -116,3 +116,31 @@ def test_sharded_batched_edit_small(key):
     result, edited = edit(models, images, alphas)
     assert edited.shape == (8, 32, 32, 3)
     assert np.all(np.isfinite(np.asarray(result.best_loss)))
+
+
+def test_tile_positions_and_model_sharding():
+    """Static tile grids clamp the last tile; model_sharding only splits
+    divisible, wide-enough last axes."""
+    from jax.sharding import PartitionSpec as P
+
+    from rgie_tpu.diffusion.vae import tile_positions
+    from rgie_tpu.parallel.mesh import model_sharding
+
+    assert tile_positions(128, 64, 48) == [0, 48, 64]
+    assert tile_positions(64, 64, 48) == [0]
+    assert tile_positions(100, 64, 48) == [0, 36]
+    for tile, stride, extent in ((64, 48, 128), (8, 6, 12), (5, 3, 12)):
+        ps = tile_positions(extent, tile, stride)
+        assert ps[0] == 0 and ps[-1] + tile == extent or extent <= tile
+        covered = set()
+        for p in ps:
+            covered.update(range(p, p + tile))
+        assert covered == set(range(extent))
+
+    mesh = M.create_mesh((4, 2))
+    x = jnp.zeros((3, 3, 8, 16))
+    assert model_sharding(x, mesh).spec == P(None, None, None, "model")
+    assert model_sharding(jnp.zeros((16, 15)), mesh).spec == P()  # not /2
+    assert model_sharding(jnp.zeros((2,)), mesh).spec == P()      # too narrow
+    data_mesh = M.create_mesh((8, 1))
+    assert model_sharding(x, data_mesh).spec == P()               # model=1
