@@ -37,9 +37,10 @@ def _pack(params: FilterParams) -> jnp.ndarray:
 
 def _prefix_kernel(p_ref, r_ref, g_ref, b_ref, ro_ref, go_ref, bo_ref, gsum_ref):
     k = CURVE_KNOTS
-    p = p_ref[0]
-    exposure = p[0]
-    saturation = jnp.maximum(p[1], 0.0)
+    # SMEM refs only support SCALAR loads on real Mosaic (interpret mode is
+    # laxer) — index every parameter individually; indices are static.
+    exposure = p_ref[0, 0]
+    saturation = jnp.maximum(p_ref[0, 1], 0.0)
 
     r = r_ref[0]
     g = g_ref[0]
@@ -71,15 +72,24 @@ def _prefix_kernel(p_ref, r_ref, g_ref, b_ref, ro_ref, go_ref, bo_ref, gsum_ref)
     sector = jnp.floor(h6).astype(jnp.int32) % 6
     o = jnp.zeros_like(c)
     sel = [sector == 0, sector == 1, sector == 2, sector == 3, sector == 4]
-    r = jnp.clip(jnp.select(sel, [c, x, o, o, x], c) + m, 0.0, 1.0)
-    g = jnp.clip(jnp.select(sel, [x, c, c, x, o], o) + m, 0.0, 1.0)
-    b = jnp.clip(jnp.select(sel, [o, o, x, c, c], x) + m, 0.0, 1.0)
+
+    def pick(vals, default):
+        # jnp.select lowers through argmax, which Mosaic can't do on TPU —
+        # nested elementwise where() is the same math on the VPU.
+        out = default
+        for cond, val in zip(reversed(sel), reversed(vals)):
+            out = jnp.where(cond, val, out)
+        return out
+
+    r = jnp.clip(pick([c, x, o, o, x], c) + m, 0.0, 1.0)
+    g = jnp.clip(pick([x, c, c, x, o], o) + m, 0.0, 1.0)
+    b = jnp.clip(pick([o, o, x, c, c], x) + m, 0.0, 1.0)
 
     # tone (shared weights) then per-channel color curves, clamped
     def curve(v, base, ch):
         total = jnp.zeros_like(v)
         for i in range(k):
-            total = total + jnp.clip(v - i / k, 0.0, 1.0 / k) * p[base + ch * k + i]
+            total = total + jnp.clip(v - i / k, 0.0, 1.0 / k) * p_ref[0, base + ch * k + i]
         return jnp.clip(jnp.minimum(total, 1.0), 0.0, 1.0)
 
     r = curve(r, 2, 0)
