@@ -22,26 +22,39 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rgie_tpu.models.clip import ResidualAttentionBlock
+from rgie_tpu.models.clip import ResidualAttentionBlock, quick_gelu
 
 BOS, EOS = 49406, 49407
 CONTEXT_LEN = 77
 
 
+def _gelu_exact(x):
+    return nn.gelu(x, approximate=False)
+
+
+#: HF `hidden_act` name -> fn. The SD-family checkpoints differ: CLIP ViT-L
+#: (SDXL text_encoder) uses quick_gelu; the OpenCLIP-derived towers (SD2.1
+#: ViT-H, SDXL bigG) use exact gelu.
+ACTIVATIONS = {"quick_gelu": quick_gelu, "gelu": _gelu_exact}
+
+
 class TextTowerConfig:
-    """Standard tower shapes."""
+    """Standard tower shapes (matching the HF text_encoder configs the
+    reference's `from_pretrained` pulls in)."""
 
     @staticmethod
-    def open_clip_vit_h():  # SD2.1 text encoder
-        return dict(width=1024, layers=23, heads=16)
+    def open_clip_vit_h():  # SD2.1 text encoder: 23-layer HF checkpoint whose
+        # last_hidden_state (with final LN) IS the penultimate-layer trick.
+        return dict(width=1024, layers=23, heads=16, act="gelu", skip_last=0)
 
     @staticmethod
-    def clip_vit_l():       # SDXL text_encoder 1
-        return dict(width=768, layers=12, heads=12)
+    def clip_vit_l():       # SDXL text_encoder 1: penultimate hidden states.
+        return dict(width=768, layers=12, heads=12, act="quick_gelu", skip_last=1)
 
     @staticmethod
-    def open_clip_big_g():  # SDXL text_encoder 2
-        return dict(width=1280, layers=32, heads=20)
+    def open_clip_big_g():  # SDXL text_encoder 2: penultimate + projected pool.
+        return dict(width=1280, layers=32, heads=20, act="gelu", skip_last=1,
+                    proj_dim=1280)
 
     @staticmethod
     def tiny():
@@ -49,9 +62,13 @@ class TextTowerConfig:
 
 
 class TextEncoderHidden(nn.Module):
-    """CLIP text tower returning (hidden_states, pooled). ``skip_last``
-    layers are dropped from the top (SD2.1 / SDXL use the penultimate layer:
-    skip_last=1)."""
+    """CLIP text tower returning (hidden_states, pooled).
+
+    ``skip_last=1`` returns the penultimate layer's raw hidden states (the
+    diffusers SDXL `hidden_states[-2]` path); ``skip_last=0`` returns the
+    final layer WITH the final LayerNorm applied (HF ``last_hidden_state`` —
+    what diffusers' SD2.x encode_prompt consumes). ``proj_dim`` adds the HF
+    ``text_projection`` to the pooled output (SDXL text_encoder_2)."""
 
     width: int = 1024
     layers: int = 23
@@ -59,6 +76,8 @@ class TextEncoderHidden(nn.Module):
     vocab_size: int = 49408
     context_length: int = CONTEXT_LEN
     skip_last: int = 1
+    act: str = "quick_gelu"
+    proj_dim: Optional[int] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -69,16 +88,23 @@ class TextEncoderHidden(nn.Module):
                          (self.context_length, self.width), self.dtype)
         x = x + pos[: tokens.shape[1]]
         mask = nn.make_causal_mask(tokens)
+        act_fn = ACTIVATIONS[self.act]
         penultimate = x
         for i in range(self.layers):
-            x = ResidualAttentionBlock(self.width, self.heads, dtype=self.dtype,
+            x = ResidualAttentionBlock(self.width, self.heads, act=act_fn,
+                                       dtype=self.dtype,
                                        name=f"resblock_{i}")(x, mask=mask)
             if i == self.layers - 1 - self.skip_last:
                 penultimate = x
-        hidden = penultimate if self.skip_last > 0 else x
         final = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
+        hidden = penultimate if self.skip_last > 0 else final
         eot = jnp.argmax(tokens, axis=-1)
         pooled = final[jnp.arange(final.shape[0]), eot]
+        if self.proj_dim is not None:
+            proj = self.param("text_projection",
+                              nn.initializers.normal(self.width ** -0.5),
+                              (self.width, self.proj_dim), self.dtype)
+            pooled = pooled @ proj
         return hidden, pooled
 
 
@@ -107,13 +133,21 @@ def tokenize(texts: Sequence[str], context_length: int = CONTEXT_LEN):
 _BPE = None
 
 
+#: Default vendored location for the public CLIP merges file
+#: (`bpe_simple_vocab_16e6.txt.gz` from openai/CLIP). Zero-egress build hosts
+#: cannot fetch it, so it is not committed — drop the file here (or point
+#: RGIE_CLIP_BPE_PATH at it) and every tokenize() call uses the real BPE.
+VENDORED_BPE_PATH = os.path.join(os.path.dirname(__file__), "assets",
+                                 "bpe_simple_vocab_16e6.txt.gz")
+
+
 def _load_bpe():
-    """Load the real CLIP BPE if a merges file is provided."""
+    """Load the real CLIP BPE from RGIE_CLIP_BPE_PATH or the vendored asset."""
     global _BPE
     if _BPE is not None:
         return _BPE if _BPE is not False else None
-    path = os.environ.get("RGIE_CLIP_BPE_PATH", "")
-    if not path or not os.path.exists(path):
+    path = os.environ.get("RGIE_CLIP_BPE_PATH", "") or VENDORED_BPE_PATH
+    if not os.path.exists(path):
         _BPE = False
         return None
     try:
@@ -165,6 +199,22 @@ def get_add_time_ids(height: int, width: int, crop_top: int = 0, crop_left: int 
     return jnp.asarray([[height, width, crop_top, crop_left,
                          target_height or height, target_width or width]],
                        dtype=jnp.float32)
+
+
+def tower_config_from_params(params: dict, skip_last: int = 1,
+                             act: str = "gelu") -> dict:
+    """Infer TextEncoderHidden shape kwargs from a converted param tree
+    (rgie_tpu.utils.torch_convert.convert_clip_text_hf output). ``act`` and
+    ``skip_last`` are role-dependent (see TextTowerConfig) and must be given."""
+    width = params["positional_embedding"].shape[1]
+    cfg = dict(width=width,
+               layers=sum(1 for k in params if str(k).startswith("resblock_")),
+               heads=max(width // 64, 1),
+               vocab_size=params["token_embedding"]["embedding"].shape[0],
+               skip_last=skip_last, act=act)
+    if "text_projection" in params:
+        cfg["proj_dim"] = params["text_projection"].shape[1]
+    return cfg
 
 
 def create_sd_prompt_encoder(key, tower_cfg: Optional[dict] = None,

@@ -102,15 +102,20 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int,
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm with fp32 statistics regardless of activation dtype."""
+    """GroupNorm with fp32 statistics regardless of activation dtype.
+
+    ``eps`` follows diffusers: 1e-5 for UNet resnets/conv_norm_out
+    (UNet2DConditionModel norm_eps), 1e-6 for Transformer2D's input norm and
+    everything inside the VAE."""
 
     num_groups: int
     dtype: Any = jnp.float32
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
         orig = x.dtype
-        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
                          dtype=jnp.float32, name="norm")(x.astype(jnp.float32))
         return y.astype(orig)
 
@@ -157,7 +162,12 @@ FLASH_ATTN = os.environ.get("RGIE_FLASH_ATTN", "auto")
 def _flash_self_attention_ok(n: int, m: int, dim_head: int) -> bool:
     if FLASH_ATTN == "0":
         return False
-    if n != m or n < 8192 or n % 512 or dim_head % 8:
+    if n != m or n < 8192 or n % 512:
+        return False
+    # Mosaic block-shape constraint (MIN_BLOCK_SIZE=128): head_dim must be
+    # < 128 or a multiple of 128, else the kernel fails at lowering — fall
+    # back to einsum instead (ADVICE r2: dim_head % 8 alone let e.g. 136 by).
+    if not (dim_head < 128 or dim_head % 128 == 0):
         return False
     # The Pallas kernel has no CPU lowering: hard-disable (even when forced
     # "1") whenever lowering targets CPU — either the backend is CPU or we
@@ -213,7 +223,8 @@ class FeedForwardGEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim * 8, dtype=self.dtype, name="proj_in")(x)
         a, gate = jnp.split(h, 2, axis=-1)
-        h = a * nn.gelu(gate)
+        # diffusers GEGLU uses exact (erf) gelu, not the tanh approximation.
+        h = a * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 
@@ -248,7 +259,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context):
         b, h, w, c = x.shape
         residual = x
-        y = GroupNorm32(self.groups, name="norm")(x)
+        y = GroupNorm32(self.groups, eps=1e-6, name="norm")(x)
         y = y.reshape(b, h * w, c)
         y = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(y)
         for i in range(self.depth):
@@ -280,10 +291,21 @@ class Upsample(nn.Module):
 
 
 class UNet2DCondition(nn.Module):
-    """Returns (eps_prediction, mid_block_features)."""
+    """Returns (eps_prediction, mid_block_features).
+
+    ``block_remat=True`` rematerializes each ResnetBlock / Transformer2D
+    under `nn.remat`: the backward pass then holds only the block-boundary
+    activations plus ONE block's residuals at a time, instead of the whole
+    UNet's — the per-chip memory lever for the differentiated paths (NTO
+    inner loss, classifier guidance). Unlike the pipeline's whole-call
+    `jax.checkpoint` (which re-runs the full forward during backward and so
+    restores the full residual set at peak), per-block remat caps the peak at
+    max(block) + boundaries. Parameter names are unchanged, so checkpoints
+    and converters are oblivious."""
 
     cfg: UNetConfig = UNetConfig()
     dtype: Any = jnp.float32
+    block_remat: bool = False
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
@@ -292,6 +314,10 @@ class UNet2DCondition(nn.Module):
                  down_residuals: Optional[Sequence[jnp.ndarray]] = None,
                  mid_residual: Optional[jnp.ndarray] = None):
         cfg = self.cfg
+        ResBlock, TxBlock = ResnetBlock, Transformer2D
+        if self.block_remat:
+            ResBlock = nn.remat(ResnetBlock)
+            TxBlock = nn.remat(Transformer2D)
         ch0 = cfg.block_out_channels[0]
         temb_dim = ch0 * 4
         if timesteps.ndim == 0:
@@ -321,14 +347,14 @@ class UNet2DCondition(nn.Module):
                                                  cfg.block_out_channels)):
             heads_dim = cfg.attention_head_dim[bi]
             for li in range(cfg.layers_per_block):
-                x = ResnetBlock(out_ch, cfg.norm_num_groups, dtype=self.dtype,
+                x = ResBlock(out_ch, cfg.norm_num_groups, dtype=self.dtype,
                                 name=f"down_{bi}_res_{li}")(x, temb)
                 if btype == "CrossAttnDownBlock2D":
                     # diffusers SD2.x/SDXL configs name per-block HEAD COUNTS in
                     # `attention_head_dim` (5/10/20 heads -> 64-dim heads at
                     # 320/640/1280 channels); tiny test configs follow suit.
                     heads = heads_dim
-                    x = Transformer2D(out_ch, heads, out_ch // heads,
+                    x = TxBlock(out_ch, heads, out_ch // heads,
                                       cfg.transformer_layers_per_block[bi],
                                       cfg.norm_num_groups, dtype=self.dtype,
                                       name=f"down_{bi}_attn_{li}")(x, context)
@@ -340,13 +366,13 @@ class UNet2DCondition(nn.Module):
         # Mid block (the tap the midu classifier reads).
         mid_ch = cfg.block_out_channels[-1]
         heads = cfg.attention_head_dim[-1]
-        x = ResnetBlock(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
+        x = ResBlock(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
                         name="mid_res_0")(x, temb)
-        x = Transformer2D(mid_ch, heads, mid_ch // heads,
+        x = TxBlock(mid_ch, heads, mid_ch // heads,
                           cfg.transformer_layers_per_block[-1],
                           cfg.norm_num_groups, dtype=self.dtype,
                           name="mid_attn")(x, context)
-        x = ResnetBlock(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
+        x = ResBlock(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
                         name="mid_res_1")(x, temb)
         # ControlNet residuals (diffusers ControlNetModel semantics: one
         # residual per skip entry, added where the up path consumes them, plus
@@ -366,11 +392,11 @@ class UNet2DCondition(nn.Module):
             for li in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResnetBlock(out_ch, cfg.norm_num_groups, dtype=self.dtype,
+                x = ResBlock(out_ch, cfg.norm_num_groups, dtype=self.dtype,
                                 name=f"up_{bi}_res_{li}")(x, temb)
                 if btype == "CrossAttnUpBlock2D":
                     heads = tuple(reversed(cfg.attention_head_dim))[bi]
-                    x = Transformer2D(out_ch, heads, out_ch // heads, rev_tf[bi],
+                    x = TxBlock(out_ch, heads, out_ch // heads, rev_tf[bi],
                                       cfg.norm_num_groups, dtype=self.dtype,
                                       name=f"up_{bi}_attn_{li}")(x, context)
             if bi < len(rev_channels) - 1:

@@ -56,11 +56,11 @@ class VaeResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm32(self.groups, name="norm1")(x)
+        h = GroupNorm32(self.groups, eps=1e-6, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(self.groups, name="norm2")(h)
+        h = GroupNorm32(self.groups, eps=1e-6, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(h)
@@ -77,7 +77,7 @@ class VaeAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        y = GroupNorm32(self.groups, name="norm")(x).reshape(b, h * w, c)
+        y = GroupNorm32(self.groups, eps=1e-6, name="norm")(x).reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
@@ -119,7 +119,7 @@ class Encoder(nn.Module):
         x = VaeResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype, name="mid_res_0")(x)
         x = VaeAttention(cfg.norm_num_groups, dtype=self.dtype, name="mid_attn")(x)
         x = VaeResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype, name="mid_res_1")(x)
-        x = GroupNorm32(cfg.norm_num_groups, name="norm_out")(x)
+        x = GroupNorm32(cfg.norm_num_groups, eps=1e-6, name="norm_out")(x)
         x = nn.silu(x)
         x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv_out")(x)
@@ -150,7 +150,7 @@ class Decoder(nn.Module):
                 x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
                 x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                             name=f"up_{bi}_upsample")(x)
-        x = GroupNorm32(cfg.norm_num_groups, name="norm_out")(x)
+        x = GroupNorm32(cfg.norm_num_groups, eps=1e-6, name="norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(cfg.in_channels, (3, 3), padding=((1, 1), (1, 1)),
                        dtype=jnp.float32, name="conv_out")(x)

@@ -433,6 +433,254 @@ def convert_inception_v3(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+# ---------------------------------------------------------------------------
+# Diffusers-format diffusion stack (UNet / VAE / CLIP text towers)
+#
+# The reference's flagship loads `from_pretrained` SD/SDXL checkpoints
+# (`/root/reference/src/pipelines/InversionResamplingStableDiffusionPipeline.py:17-21`,
+# `...XLPipeline.py:15-20`). These converters map the diffusers/HF state-dict
+# naming onto rgie_tpu.diffusion.{unet,vae,text_encoder}'s Flax trees so real
+# pretrained weights drive the TPU pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _conv_entry(sd, prefix) -> Dict[str, Any]:
+    out = {"kernel": conv_kernel(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _lin_entry(sd, prefix) -> Dict[str, Any]:
+    out = {"kernel": dense_kernel(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _norm_entry(sd, prefix) -> Dict[str, Any]:
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _gn32_entry(sd, prefix) -> Dict[str, Any]:
+    """diffusers GroupNorm -> our GroupNorm32 wrapper (nested 'norm')."""
+    return {"norm": _norm_entry(sd, prefix)}
+
+
+def _diffusers_resnet(sd, prefix, has_temb: bool = True) -> Dict[str, Any]:
+    p = {
+        "norm1": _gn32_entry(sd, f"{prefix}.norm1"),
+        "conv1": _conv_entry(sd, f"{prefix}.conv1"),
+        "norm2": _gn32_entry(sd, f"{prefix}.norm2"),
+        "conv2": _conv_entry(sd, f"{prefix}.conv2"),
+    }
+    if has_temb and f"{prefix}.time_emb_proj.weight" in sd:
+        p["time_emb_proj"] = _lin_entry(sd, f"{prefix}.time_emb_proj")
+    if f"{prefix}.conv_shortcut.weight" in sd:
+        p["conv_shortcut"] = _conv_entry(sd, f"{prefix}.conv_shortcut")
+    return p
+
+
+def _diffusers_attention(sd, prefix) -> Dict[str, Any]:
+    """diffusers Attention (to_q/to_k/to_v Linear no-bias, to_out.0) ->
+    our CrossAttention Dense tree."""
+    return {
+        "to_q": {"kernel": dense_kernel(sd[f"{prefix}.to_q.weight"])},
+        "to_k": {"kernel": dense_kernel(sd[f"{prefix}.to_k.weight"])},
+        "to_v": {"kernel": dense_kernel(sd[f"{prefix}.to_v.weight"])},
+        "to_out": _lin_entry(sd, f"{prefix}.to_out.0"),
+    }
+
+
+def _diffusers_transformer2d(sd, prefix, depth: int) -> Dict[str, Any]:
+    """diffusers Transformer2DModel (use_linear_projection=True, the SD2.x/
+    SDXL configuration) -> our Transformer2D tree."""
+    p: Dict[str, Any] = {
+        "norm": _gn32_entry(sd, f"{prefix}.norm"),
+        "proj_in": _lin_entry(sd, f"{prefix}.proj_in"),
+        "proj_out": _lin_entry(sd, f"{prefix}.proj_out"),
+    }
+    for k in range(depth):
+        b = f"{prefix}.transformer_blocks.{k}"
+        p[f"block_{k}"] = {
+            "norm1": _norm_entry(sd, f"{b}.norm1"),
+            "attn1": _diffusers_attention(sd, f"{b}.attn1"),
+            "norm2": _norm_entry(sd, f"{b}.norm2"),
+            "attn2": _diffusers_attention(sd, f"{b}.attn2"),
+            "norm3": _norm_entry(sd, f"{b}.norm3"),
+            "ff": {"proj_in": _lin_entry(sd, f"{b}.ff.net.0.proj"),
+                   "proj_out": _lin_entry(sd, f"{b}.ff.net.2")},
+        }
+    return p
+
+
+def convert_unet_diffusers(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """diffusers UNet2DConditionModel state_dict -> UNet2DCondition params.
+
+    ``cfg`` is the matching `rgie_tpu.diffusion.unet.UNetConfig`
+    (`UNetConfig.sd21()` for SD2.1/sd-turbo, `UNetConfig.sdxl()` for SDXL;
+    tiny configs drive the parity tests). Covers both block inventories —
+    the converter walks cfg.down_block_types/up_block_types exactly like the
+    Flax module, so any diffusers-shaped checkpoint with linear transformer
+    projections converts."""
+    sd = dict(state_dict)
+    p: Dict[str, Any] = {
+        "conv_in": _conv_entry(sd, "conv_in"),
+        "time_embed_0": _lin_entry(sd, "time_embedding.linear_1"),
+        "time_embed_2": _lin_entry(sd, "time_embedding.linear_2"),
+        "norm_out": _gn32_entry(sd, "conv_norm_out"),
+        "conv_out": _conv_entry(sd, "conv_out"),
+    }
+    if cfg.addition_embed_type == "text_time":
+        p["add_embed_0"] = _lin_entry(sd, "add_embedding.linear_1")
+        p["add_embed_2"] = _lin_entry(sd, "add_embedding.linear_2")
+
+    n_blocks = len(cfg.block_out_channels)
+    for bi, btype in enumerate(cfg.down_block_types):
+        for li in range(cfg.layers_per_block):
+            p[f"down_{bi}_res_{li}"] = _diffusers_resnet(
+                sd, f"down_blocks.{bi}.resnets.{li}")
+            if btype == "CrossAttnDownBlock2D":
+                p[f"down_{bi}_attn_{li}"] = _diffusers_transformer2d(
+                    sd, f"down_blocks.{bi}.attentions.{li}",
+                    cfg.transformer_layers_per_block[bi])
+        if bi < n_blocks - 1:
+            p[f"down_{bi}_downsample"] = {
+                "conv": _conv_entry(sd, f"down_blocks.{bi}.downsamplers.0.conv")}
+
+    p["mid_res_0"] = _diffusers_resnet(sd, "mid_block.resnets.0")
+    p["mid_attn"] = _diffusers_transformer2d(
+        sd, "mid_block.attentions.0", cfg.transformer_layers_per_block[-1])
+    p["mid_res_1"] = _diffusers_resnet(sd, "mid_block.resnets.1")
+
+    rev_tf = tuple(reversed(cfg.transformer_layers_per_block))
+    for bi, btype in enumerate(cfg.up_block_types):
+        for li in range(cfg.layers_per_block + 1):
+            p[f"up_{bi}_res_{li}"] = _diffusers_resnet(
+                sd, f"up_blocks.{bi}.resnets.{li}")
+            if btype == "CrossAttnUpBlock2D":
+                p[f"up_{bi}_attn_{li}"] = _diffusers_transformer2d(
+                    sd, f"up_blocks.{bi}.attentions.{li}", rev_tf[bi])
+        if bi < n_blocks - 1:
+            p[f"up_{bi}_upsample"] = {
+                "conv": _conv_entry(sd, f"up_blocks.{bi}.upsamplers.0.conv")}
+    return {"params": p}
+
+
+def _vae_mid_attention(sd, prefix) -> Dict[str, Any]:
+    """diffusers VAE mid attention -> our VaeAttention tree. Handles both the
+    modern Attention naming (group_norm/to_q/to_k/to_v/to_out.0) and the
+    legacy AttentionBlock naming (query/key/value/proj_attn, 1x1-conv or
+    linear weights)."""
+    if f"{prefix}.to_q.weight" in sd:
+        names = {"norm": "group_norm", "to_q": "to_q", "to_k": "to_k",
+                 "to_v": "to_v", "to_out": "to_out.0"}
+    else:
+        names = {"norm": "group_norm", "to_q": "query", "to_k": "key",
+                 "to_v": "value", "to_out": "proj_attn"}
+    p: Dict[str, Any] = {"norm": _gn32_entry(sd, f"{prefix}.{names['norm']}")}
+    for dst in ("to_q", "to_k", "to_v", "to_out"):
+        w = _np(sd[f"{prefix}.{names[dst]}.weight"])
+        if w.ndim == 4:  # legacy 1x1 conv weights
+            w = w[:, :, 0, 0]
+        p[dst] = {"kernel": w.T, "bias": _np(sd[f"{prefix}.{names[dst]}.bias"])}
+    return p
+
+
+def convert_vae_diffusers(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """diffusers AutoencoderKL state_dict -> our AutoencoderKL params.
+
+    ``cfg`` is the matching `rgie_tpu.diffusion.vae.VaeConfig`. The top-level
+    quant_conv/post_quant_conv fold into our Encoder/Decoder submodules."""
+    sd = dict(state_dict)
+    enc: Dict[str, Any] = {
+        "conv_in": _conv_entry(sd, "encoder.conv_in"),
+        "norm_out": _gn32_entry(sd, "encoder.conv_norm_out"),
+        "conv_out": _conv_entry(sd, "encoder.conv_out"),
+        "quant_conv": _conv_entry(sd, "quant_conv"),
+        "mid_res_0": _diffusers_resnet(sd, "encoder.mid_block.resnets.0", False),
+        "mid_attn": _vae_mid_attention(sd, "encoder.mid_block.attentions.0"),
+        "mid_res_1": _diffusers_resnet(sd, "encoder.mid_block.resnets.1", False),
+    }
+    n_blocks = len(cfg.block_out_channels)
+    for bi in range(n_blocks):
+        for li in range(cfg.layers_per_block):
+            enc[f"down_{bi}_res_{li}"] = _diffusers_resnet(
+                sd, f"encoder.down_blocks.{bi}.resnets.{li}", False)
+        if bi < n_blocks - 1:
+            enc[f"down_{bi}_downsample"] = _conv_entry(
+                sd, f"encoder.down_blocks.{bi}.downsamplers.0.conv")
+
+    dec: Dict[str, Any] = {
+        "post_quant_conv": _conv_entry(sd, "post_quant_conv"),
+        "conv_in": _conv_entry(sd, "decoder.conv_in"),
+        "norm_out": _gn32_entry(sd, "decoder.conv_norm_out"),
+        "conv_out": _conv_entry(sd, "decoder.conv_out"),
+        "mid_res_0": _diffusers_resnet(sd, "decoder.mid_block.resnets.0", False),
+        "mid_attn": _vae_mid_attention(sd, "decoder.mid_block.attentions.0"),
+        "mid_res_1": _diffusers_resnet(sd, "decoder.mid_block.resnets.1", False),
+    }
+    for bi in range(n_blocks):
+        for li in range(cfg.layers_per_block + 1):
+            dec[f"up_{bi}_res_{li}"] = _diffusers_resnet(
+                sd, f"decoder.up_blocks.{bi}.resnets.{li}", False)
+        if bi < n_blocks - 1:
+            dec[f"up_{bi}_upsample"] = _conv_entry(
+                sd, f"decoder.up_blocks.{bi}.upsamplers.0.conv")
+    return {"params": {"encoder": enc, "decoder": dec}}
+
+
+def convert_clip_text_hf(state_dict: Mapping[str, Any],
+                         heads: int = 0) -> Dict[str, Any]:
+    """HF transformers CLIPTextModel(WithProjection) state_dict ->
+    `rgie_tpu.diffusion.text_encoder.TextEncoderHidden` params.
+
+    Layer count and width are inferred from the keys; ``heads`` defaults to
+    width // 64 (every SD-family tower uses 64-dim heads). A
+    ``text_projection.weight`` (CLIPTextModelWithProjection — SDXL
+    text_encoder_2) converts when present."""
+    sd = {k[len("text_model."):] if k.startswith("text_model.") else k: v
+          for k, v in state_dict.items()}
+    width = _np(sd["embeddings.token_embedding.weight"]).shape[1]
+    heads = heads or max(width // 64, 1)
+    head_dim = width // heads
+    layers = 1 + max(int(k.split(".")[2]) for k in sd
+                     if k.startswith("encoder.layers."))
+
+    p: Dict[str, Any] = {
+        "token_embedding": {"embedding": _np(sd["embeddings.token_embedding.weight"])},
+        "positional_embedding": _np(sd["embeddings.position_embedding.weight"]),
+        "ln_final": _norm_entry(sd, "final_layer_norm"),
+    }
+    for i in range(layers):
+        src = f"encoder.layers.{i}"
+
+        def heads_kernel(name):
+            w = _np(sd[f"{src}.self_attn.{name}.weight"])  # (width, width)
+            return w.T.reshape(width, heads, head_dim)
+
+        def heads_bias(name):
+            return _np(sd[f"{src}.self_attn.{name}.bias"]).reshape(heads, head_dim)
+
+        out_w = _np(sd[f"{src}.self_attn.out_proj.weight"])
+        p[f"resblock_{i}"] = {
+            "ln_1": _norm_entry(sd, f"{src}.layer_norm1"),
+            "ln_2": _norm_entry(sd, f"{src}.layer_norm2"),
+            "attn": {
+                "query": {"kernel": heads_kernel("q_proj"), "bias": heads_bias("q_proj")},
+                "key": {"kernel": heads_kernel("k_proj"), "bias": heads_bias("k_proj")},
+                "value": {"kernel": heads_kernel("v_proj"), "bias": heads_bias("v_proj")},
+                "out": {"kernel": out_w.T.reshape(heads, head_dim, width),
+                        "bias": _np(sd[f"{src}.self_attn.out_proj.bias"])},
+            },
+            "mlp": {"c_fc": _lin_entry(sd, f"{src}.mlp.fc1"),
+                    "c_proj": _lin_entry(sd, f"{src}.mlp.fc2")},
+        }
+    if "text_projection.weight" in sd:
+        p["text_projection"] = dense_kernel(sd["text_projection.weight"])
+    return {"params": p}
+
+
 def load_torch_state_dict(path: str) -> Dict[str, Any]:
     """Load a torch checkpoint file into a flat numpy state dict (torch-cpu)."""
     import torch

@@ -404,3 +404,36 @@ def test_tiled_vae_passthrough_and_pipeline(key, rng):
         variables, img)
     assert tiled_enc.shape == (1, 12, 12, 4)
     assert np.all(np.isfinite(np.asarray(tiled_enc)))
+
+
+def test_unet_block_remat_identical(key, rng):
+    """block_remat=True (per-block nn.remat — the NTO memory lever) must not
+    change outputs or latent gradients; param tree is unchanged too."""
+    from rgie_tpu.diffusion.unet import UNet2DCondition, UNetConfig, create_unet
+
+    cfg = UNetConfig.tiny()
+    unet, variables = create_unet(key, cfg, sample_hw=8)
+    unet_r = unet.clone(block_remat=True)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(1, 6, cfg.cross_attention_dim)).astype(np.float32))
+    t = jnp.asarray([7], jnp.int32)
+
+    eps_a, mid_a = unet.apply(variables, x, t, ctx)
+    eps_b, mid_b = unet_r.apply(variables, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(eps_a), np.asarray(eps_b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mid_a), np.asarray(mid_b), atol=1e-6)
+
+    def loss(m, lat):
+        e, mid = m.apply(variables, lat, t, ctx)
+        return jnp.sum(e ** 2) + jnp.sum(mid ** 2)
+
+    g_a = jax.grad(lambda lat: loss(unet, lat))(x)
+    g_b = jax.grad(lambda lat: loss(unet_r, lat))(x)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                               rtol=1e-4, atol=1e-5)
+
+    # Re-init under remat: identical parameter tree.
+    _, v_r = create_unet(key, cfg, sample_hw=8)
+    a = jax.tree_util.tree_structure(variables)
+    b = jax.tree_util.tree_structure(v_r)
+    assert a == b
