@@ -74,6 +74,14 @@ class InversionResamplingPipeline:
     # of the tile (25% crossfaded overlap), diffusers' overlap_factor.
     vae_tile: Optional[int] = None
     vae_tile_stride: Optional[int] = None
+    # Sigma-space DPM tables (karras sigmas / lu lambdas — the reference's
+    # SDXL DPM configuration, ...XLPipeline.py:29-32). When set (and
+    # scheduler_type == "dpm"), sampling steps over `sigma_sched` and
+    # inversion over `sigma_sched_inv` (whose rounded-timestep dedup can make
+    # it SHORTER than num_inference_steps — the documented diffusers inverse
+    # behavior). Build both via SCH.make_dpm_sigma_schedule.
+    sigma_sched: Optional[SCH.DpmSigmaSchedule] = None
+    sigma_sched_inv: Optional[SCH.DpmSigmaSchedule] = None
 
     # -- UNet call helper ---------------------------------------------------
 
@@ -136,6 +144,29 @@ class InversionResamplingPipeline:
         """DDIM inversion (reference: reverse_sample,
         ...StableDiffusionPipeline.py:26-49). Returns (noisy_latents,
         pivot_latents (S+1, ...)) — pivots[0] is the clean latent."""
+        if self.scheduler_type == "dpm" and self.sigma_sched_inv is not None:
+            # Sigma-space inversion (karras/lu tables): step i moves
+            # sigmas[i] -> sigmas[i+1] (ascending from 0 = clean latent), the
+            # UNet conditions on the table's rounded timesteps (the diffusers
+            # inverse-scheduler loop convention).
+            ssched = self.sigma_sched_inv
+            ts = ssched.timesteps
+            if end_iteration is not None:
+                ts = ts[:end_iteration]
+
+            def body_sig(carry, t_i):
+                lat, state = carry
+                t, i = t_i
+                eps, _ = self._unet(params.unet, lat, t, embeds, added)
+                new, state = SCH.dpm_sigma_step(ssched, eps, i, lat, state)
+                return (new, state), new
+
+            (final, _), pivots = jax.lax.scan(
+                body_sig,
+                (latents, SCH.dpm_init_state(latents.shape, latents.dtype)),
+                (ts, jnp.arange(ts.shape[0])))
+            return final, jnp.concatenate([latents[None], pivots], axis=0)
+
         ts = SCH.inverse_timesteps(self.sched)
         if end_iteration is not None:
             ts = ts[:end_iteration]
@@ -181,7 +212,11 @@ class InversionResamplingPipeline:
         (2, L, D) [uncond; cond] when guidance_scale > 1 else (1, L, D).
         ``uncond_embeds_per_step`` (S, L, D) substitutes NTO embeddings
         (:108-109)."""
-        ts = self.sched.timesteps[start_iteration:]
+        use_sigma = self.scheduler_type == "dpm" and self.sigma_sched is not None
+        if use_sigma:
+            ts = self.sigma_sched.timesteps[start_iteration:]
+        else:
+            ts = self.sched.timesteps[start_iteration:]
         do_cfg = guidance_scale > 1.0
         do_clf = self.midu_model is not None and guidance_clf_scale > 0.0
         steps = jnp.arange(start_iteration, start_iteration + ts.shape[0])
@@ -224,7 +259,10 @@ class InversionResamplingPipeline:
                                           time_ids=added.time_ids[-1:])
                 eps, _ = self._unet(params.unet, lat, t, prompt_embeds, added_cond)
 
-            if self.scheduler_type == "dpm":
+            if use_sigma:
+                lat, dpm_state = SCH.dpm_sigma_step(self.sigma_sched, eps, i,
+                                                    lat, dpm_state)
+            elif self.scheduler_type == "dpm":
                 lat, dpm_state = SCH.dpm_step(self.sched, eps, t, t_next, lat, dpm_state)
             else:
                 lat = SCH.ddim_step(self.sched, eps, t, lat)

@@ -173,6 +173,154 @@ def dpm_step(sched: DiffusionSchedule, eps: jnp.ndarray, timestep: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# DPM-Solver++ 2M over EXPLICIT sigma tables: karras sigmas / lu lambdas.
+#
+# The reference configures the SDXL DPM path with use_karras_sigmas=True and
+# use_lu_lambdas=True (`/root/reference/src/pipelines/
+# InversionResamplingStableDiffusionXLPipeline.py:29-32`); in diffusers'
+# DPMSolverMultistepScheduler karras takes precedence when both are set, and
+# the INVERSE scheduler's rounded karras timesteps can collide at the dense
+# low-sigma end — duplicates are removed, shortening the inversion (the
+# reference's comment documents exactly this behavior). Tables are built on
+# the HOST (numpy) at schedule-construction time, so the dedup'd length is
+# static for `lax.scan`; stepping works in sigma space (the rounded integer
+# timesteps only feed the UNet).
+# ---------------------------------------------------------------------------
+
+
+class DpmSigmaSchedule(NamedTuple):
+    """Sigma-space DPM schedule. ``sigmas`` has S+1 entries: sigmas[i] ->
+    sigmas[i+1] is step i; the last forward sigma is 0 (final_sigmas_type
+    'zero'). ``timesteps`` are the rounded UNet conditioning steps."""
+
+    sigmas: jnp.ndarray           # (S+1,) f32
+    timesteps: jnp.ndarray        # (S,) int32
+    num_inference_steps: int
+
+
+def _training_sigmas(num_train_timesteps: int = 1000, beta_start: float = 0.00085,
+                     beta_end: float = 0.012,
+                     beta_schedule: str = "scaled_linear") -> np.ndarray:
+    acp = make_alphas_cumprod(num_train_timesteps, beta_start, beta_end,
+                              beta_schedule).astype(np.float64)
+    return np.sqrt((1.0 - acp) / acp)
+
+
+def karras_sigmas(sigma_min: float, sigma_max: float, steps: int,
+                  rho: float = 7.0) -> np.ndarray:
+    """Karras et al. (arXiv:2206.00364) eq. 5 interpolation, descending."""
+    ramp = np.linspace(0, 1, steps)
+    min_inv_rho = sigma_min ** (1 / rho)
+    max_inv_rho = sigma_max ** (1 / rho)
+    return (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** rho
+
+
+def lu_lambdas(lambda_min: float, lambda_max: float, steps: int) -> np.ndarray:
+    """Lu et al. uniform-log-sigma spacing (diffusers use_lu_lambdas):
+    linear interpolation of log-sigma, descending."""
+    ramp = np.linspace(0, 1, steps)
+    return lambda_max + ramp * (lambda_min - lambda_max)
+
+
+def _sigma_to_t(sigma: np.ndarray, log_sigmas: np.ndarray) -> np.ndarray:
+    """Fractional training timestep for a sigma by piecewise-linear
+    interpolation of log-sigma (the diffusers _sigma_to_t)."""
+    log_sigma = np.log(np.maximum(sigma, 1e-10))
+    dists = log_sigma[..., None] - log_sigmas[None, :]
+    low_idx = np.clip((dists >= 0).cumsum(axis=-1).argmax(axis=-1), 0,
+                      log_sigmas.shape[0] - 2)
+    high_idx = low_idx + 1
+    low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+    w = np.clip((low - log_sigma) / (low - high), 0, 1)
+    return (1 - w) * low_idx + w * high_idx
+
+
+def make_dpm_sigma_schedule(num_inference_steps: int,
+                            num_train_timesteps: int = 1000,
+                            beta_start: float = 0.00085, beta_end: float = 0.012,
+                            beta_schedule: str = "scaled_linear",
+                            use_karras_sigmas: bool = True,
+                            use_lu_lambdas: bool = False,
+                            inverse: bool = False) -> DpmSigmaSchedule:
+    """Build the sigma/timestep tables. Forward: descending sigmas ending at
+    0. Inverse: ascending sigmas starting at 0 (the clean latent), with
+    rounded-timestep duplicates removed (shorter inversion, like the
+    diffusers inverse scheduler)."""
+    train_sig = _training_sigmas(num_train_timesteps, beta_start, beta_end,
+                                 beta_schedule)
+    log_sigmas = np.log(train_sig)
+    if use_karras_sigmas:
+        sig = karras_sigmas(float(train_sig[0]), float(train_sig[-1]),
+                            num_inference_steps)
+    elif use_lu_lambdas:
+        sig = np.exp(lu_lambdas(float(log_sigmas[0]), float(log_sigmas[-1]),
+                                num_inference_steps))
+    else:
+        # uniform leading spacing in t, like make_schedule
+        ratio = num_train_timesteps // num_inference_steps
+        ts = (np.arange(num_inference_steps) * ratio).round()[::-1].astype(int)
+        sig = train_sig[ts]
+    ts = _sigma_to_t(sig, log_sigmas).round().astype(np.int64)
+
+    if inverse:
+        sig = sig[::-1]
+        ts = ts[::-1]
+        # Duplicate-timestep removal (keep the first occurrence).
+        _, keep = np.unique(ts, return_index=True)
+        keep = np.sort(keep)
+        sig, ts = sig[keep], ts[keep]
+        # The clean latent enters at the FIRST table sigma, making step 0 an
+        # identity transition (h=0) — the diffusers DDIMInverseScheduler's
+        # first step is the same identity (source and target both at
+        # alphas_cumprod[0]). Starting from sigma=0 instead is numerically
+        # catastrophic: the (sigma_t/sigma_s) and expm1(-h) terms both blow
+        # up to ~1e10 and their f32 difference loses the signal.
+        sigmas = np.concatenate([sig[:1], sig])
+    else:
+        sigmas = np.concatenate([sig, [0.0]])
+    return DpmSigmaSchedule(
+        sigmas=jnp.asarray(sigmas, jnp.float32),
+        timesteps=jnp.asarray(ts, jnp.int32),
+        num_inference_steps=int(ts.shape[0]),
+    )
+
+
+def _vp_from_sigma(sigma: jnp.ndarray):
+    """Karras sigma -> VP (alpha_t, sigma_t, lambda_t): alpha = 1/sqrt(1+s^2),
+    sigma_t = s * alpha (the diffusers _sigma_to_alpha_sigma_t)."""
+    alpha = 1.0 / jnp.sqrt(1.0 + sigma * sigma)
+    sigma_t = sigma * alpha
+    lam = jnp.log(alpha) - jnp.log(jnp.maximum(sigma_t, 1e-10))
+    return alpha, sigma_t, lam
+
+
+def dpm_sigma_step(sched: DpmSigmaSchedule, eps: jnp.ndarray, i: jnp.ndarray,
+                   sample: jnp.ndarray, state: DpmState
+                   ) -> Tuple[jnp.ndarray, DpmState]:
+    """One DPM++ 2M transition sigmas[i] -> sigmas[i+1] (either direction).
+    At the terminal sigma 0, lambda -> +inf and the update collapses to the
+    x0 prediction (expm1(-h) -> -1, sigma ratio -> 0) — the floats do this
+    on their own with the 1e-10 log floor."""
+    sig_s = sched.sigmas[i]
+    sig_t = sched.sigmas[i + 1]
+    alp_s, sigt_s, lam_s = _vp_from_sigma(sig_s)
+    alp_t, sigt_t, lam_t = _vp_from_sigma(sig_t)
+    x0 = (sample - sigt_s * eps) / alp_s
+
+    h = lam_t - lam_s
+    r = (lam_s - state.prev_lambda) / jnp.where(h == 0, 1.0, h)
+    r = jnp.where(jnp.abs(r) < 1e-8, 1.0, r)
+    d_second = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * state.prev_x0
+    d = jnp.where(state.has_prev, d_second, x0)
+
+    x_next = (sigt_t / jnp.maximum(sigt_s, 1e-10)) * sample \
+        - alp_t * jnp.expm1(-h) * d
+    new_state = DpmState(prev_x0=x0, prev_lambda=lam_s,
+                         has_prev=jnp.asarray(True))
+    return x_next, new_state
+
+
+# ---------------------------------------------------------------------------
 # Guidance-scaling helper (Dhariwal-style; reference diff_utils.py:133-181,
 # unused in the main path but part of the API surface)
 # ---------------------------------------------------------------------------
