@@ -24,8 +24,16 @@ def main():
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--out-dir", default=None)
     ap.add_argument("--midu-ckpt", default=None)
+    ap.add_argument("--diffusers-dir", default=None,
+                    help="local diffusers snapshot dir (unet/ vae/ text_encoder/"
+                         " ...): loads real pretrained weights via "
+                         "rgie_tpu.diffusion.load instead of random init")
     ap.add_argument("--scale", choices=("tiny", "sd", "sdxl"), default="tiny")
     ap.add_argument("--num-steps", type=int, default=50)
+    ap.add_argument("--scheduler", choices=("ddim", "dpm"), default="ddim",
+                    help="ddim (reference SD default) or dpm; with --scale "
+                         "sdxl, dpm uses karras sigmas + lu lambdas like the "
+                         "reference (...XLPipeline.py:29-32)")
     ap.add_argument("--end-iteration", type=int, default=None)
     ap.add_argument("--cfg-scale", type=float, default=2.0)
     ap.add_argument("--clf-scale", type=float, default=0.2)
@@ -40,6 +48,11 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize UNet activations on differentiated paths "
                          "(bigger batches at the cost of one extra forward)")
+    ap.add_argument("--remat-mode", choices=("call", "block"), default="block",
+                    help="with --remat: 'block' remats each UNet res/attn "
+                         "block (peak = boundaries + one block — the NTO "
+                         "memory lever); 'call' wraps the whole UNet call "
+                         "(the round-2 behavior)")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--input-size", type=int, default=None)
     ap.add_argument("--dtype", choices=("float32", "bfloat16"), default=None,
@@ -89,8 +102,29 @@ def main():
     dtype_name = args.dtype or ("float32" if args.scale == "tiny" else "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
+    ckpt = None
+    if args.diffusers_dir:
+        from rgie_tpu.diffusion.load import load_diffusers_checkpoint
+
+        ckpt = load_diffusers_checkpoint(
+            args.diffusers_dir, dtype=None if args.scale == "tiny" else dtype)
+        unet_cfg, vae_cfg = ckpt.unet_cfg, ckpt.vae_cfg
+        is_xl = ckpt.is_xl
+        if args.input_size is None:
+            input_size = 1024 if is_xl else 512
+        print(f"loaded diffusers checkpoint from {args.diffusers_dir} "
+              f"(xl={is_xl}, bpe={'real' if ckpt.merges_path else 'fallback'})")
+
     latent_hw = input_size // (2 ** (len(vae_cfg.block_out_channels) - 1))
-    if args.scale == "tiny":
+    if ckpt is not None and ckpt.unet_vars is not None:
+        from rgie_tpu.diffusion.unet import UNet2DCondition
+        from rgie_tpu.diffusion.vae import AutoencoderKL
+
+        mdtype = jnp.float32 if args.scale == "tiny" else dtype
+        unet = UNet2DCondition(unet_cfg, dtype=mdtype)
+        vae = AutoencoderKL(vae_cfg, mdtype)
+        unet_vars, vae_vars = ckpt.unet_vars, ckpt.vae_vars
+    elif args.scale == "tiny":
         unet, unet_vars = create_unet(k1, unet_cfg, sample_hw=latent_hw, context_len=77)
         vae, vae_vars = create_vae(k2, vae_cfg, image_hw=input_size)
     else:
@@ -121,10 +155,24 @@ def main():
         print(f"loaded midu classifier from {args.midu_ckpt}")
 
     sched = SCH.make_schedule(args.num_steps)
+    sigma_kw = {}
+    if args.scheduler == "dpm" and is_xl:
+        # The reference's SDXL DPM config: karras sigmas (+ lu lambdas, which
+        # karras precedence masks) and the dedup'd inverse table.
+        sigma_kw = dict(
+            sigma_sched=SCH.make_dpm_sigma_schedule(
+                args.num_steps, use_karras_sigmas=True, use_lu_lambdas=True),
+            sigma_sched_inv=SCH.make_dpm_sigma_schedule(
+                args.num_steps, use_karras_sigmas=True, use_lu_lambdas=True,
+                inverse=True))
+    if args.remat and args.remat_mode == "block":
+        unet = unet.clone(block_remat=True)
     pipe = InversionResamplingPipeline(unet=unet, vae=vae, sched=sched,
                                        midu_model=midu, is_xl=is_xl,
-                                       remat_unet=args.remat,
-                                       vae_tile=args.vae_tile)
+                                       remat_unet=args.remat and args.remat_mode == "call",
+                                       vae_tile=args.vae_tile,
+                                       scheduler_type=args.scheduler,
+                                       **sigma_kw)
     params = PipelineParams(unet=unet_vars, vae=vae_vars, midu=midu_vars)
 
     added_cond_fn = None
@@ -132,7 +180,19 @@ def main():
         from rgie_tpu.diffusion.pipeline import SdxlCond
         from rgie_tpu.diffusion.text_encoder import create_sdxl_prompt_encoder
 
-        prompt_enc = create_sdxl_prompt_encoder(k4)
+        if ckpt is not None and ckpt.text_vars is not None:
+            from rgie_tpu.diffusion.text_encoder import (
+                PromptEncoder, TextEncoderHidden, tower_config_from_params)
+
+            c1 = tower_config_from_params(ckpt.text_vars["params"],
+                                          skip_last=1, act="quick_gelu")
+            c2 = tower_config_from_params(ckpt.text2_vars["params"],
+                                          skip_last=1, act="gelu")
+            prompt_enc = PromptEncoder(
+                tower1=TextEncoderHidden(**c1), variables1=ckpt.text_vars,
+                tower2=TextEncoderHidden(**c2), variables2=ckpt.text2_vars)
+        else:
+            prompt_enc = create_sdxl_prompt_encoder(k4)
 
         def embeds_fn(p, n):
             e, _, _ = prompt_enc.encode_sdxl(p, n, image_size=input_size)
@@ -146,7 +206,16 @@ def main():
             _, pooled, time_ids = prompt_enc.encode_sdxl(p, n, image_size=input_size)
             return SdxlCond(text_embeds=pooled, time_ids=time_ids)
     else:
-        prompt_enc = create_sd_prompt_encoder(k4, tower_cfg)
+        if ckpt is not None and ckpt.text_vars is not None:
+            from rgie_tpu.diffusion.text_encoder import (
+                PromptEncoder, TextEncoderHidden, tower_config_from_params)
+
+            c1 = tower_config_from_params(ckpt.text_vars["params"],
+                                          skip_last=0, act="gelu")
+            prompt_enc = PromptEncoder(tower1=TextEncoderHidden(**c1),
+                                       variables1=ckpt.text_vars)
+        else:
+            prompt_enc = create_sd_prompt_encoder(k4, tower_cfg)
         embeds_fn = lambda p, n: prompt_enc.encode_sd(p, n, do_cfg=False)
         cfg_embeds_fn = lambda p, n: prompt_enc.encode_sd(p, n, do_cfg=True)
 

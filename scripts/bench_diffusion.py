@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--no-nto", action="store_true")
     ap.add_argument("--remat", action="store_true", default=True)
     ap.add_argument("--no-remat", dest="remat", action="store_false")
+    ap.add_argument("--remat-mode", choices=("call", "block"), default="call",
+                    help="'block' = per-block nn.remat inside the UNet (peak "
+                         "= boundaries + one block; the NTO ceiling lever); "
+                         "'call' = whole-call jax.checkpoint (round-2 mode)")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
@@ -116,9 +120,11 @@ def main():
     midu_vars = midu.init(k3, jnp.zeros((1, mid_hw, mid_hw, mid_ch)))
 
     sched = SCH.make_schedule(args.num_steps)
+    if args.remat and args.remat_mode == "block":
+        unet = unet.clone(block_remat=True)
     pipe = InversionResamplingPipeline(unet=unet, vae=vae, sched=sched,
                                        midu_model=midu, is_xl=is_xl,
-                                       remat_unet=args.remat,
+                                       remat_unet=args.remat and args.remat_mode == "call",
                                        vae_tile=args.vae_tile)
     params = PipelineParams(unet=unet_vars, vae=vae_vars, midu=midu_vars)
 
@@ -184,7 +190,8 @@ def main():
         "vs_baseline": None,
         "detail": {
             "batch": B, "steps": args.num_steps, "nto": not args.no_nto,
-            "remat": args.remat, "edit_seconds": round(elapsed, 2),
+            "remat": args.remat, "remat_mode": args.remat_mode,
+            "edit_seconds": round(elapsed, 2),
             "unet_fwd_equivalents_per_image": fwd_eq,
             "per_unet_fwd_ms": round(per_unet_ms, 2),
             "compile_seconds": round(compile_s, 1), "chips": n_chips,
