@@ -1,0 +1,105 @@
+"""Multi-host entry tests (VERDICT r2 missing #5).
+
+Single-process behavior runs inline; the real 2-process bootstrap
+(`jax.distributed.initialize` over a localhost coordinator, global 8-device
+CPU mesh, cross-process psum) runs in subprocesses — each side is a separate
+interpreter exactly like two pod hosts. Marked slow: two cold jax imports on
+a 1-core box.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_single_process_noop():
+    from rgie_tpu.parallel import distributed as D
+
+    for v in ("RGIE_COORDINATOR", "RGIE_NUM_PROCESSES", "RGIE_PROCESS_ID"):
+        assert v not in os.environ
+    assert D.init_distributed() is False
+    pid, n = D.process_info()
+    assert pid == 0 and n == 1
+    assert D.is_main_process()
+
+
+def test_hybrid_mesh_single_slice():
+    from rgie_tpu.parallel import distributed as D
+
+    mesh = D.create_hybrid_mesh(model_parallel=2)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape["model"] == 2
+    assert mesh.shape["data"] * 2 == len(mesh.devices.reshape(-1))
+    with pytest.raises(ValueError):
+        D.create_hybrid_mesh(model_parallel=3)
+
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from rgie_tpu.parallel import distributed as D
+
+    rank = int(sys.argv[1])
+    ok = D.init_distributed(coordinator_address="localhost:{port}",
+                            num_processes=2, process_id=rank)
+    assert ok
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+    assert D.is_main_process() == (rank == 0)
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = D.create_hybrid_mesh(model_parallel=2)
+    assert dict(mesh.shape) == {{"data": 4, "model": 2}}, mesh.shape
+
+    # Cross-process reduction over the global mesh: each process contributes
+    # its local shard of a data-sharded array. Shardings are explicit, so no
+    # mesh context manager is needed (and use_mesh/set_mesh naming varies
+    # across jax versions).
+    x = jax.make_array_from_callback(
+        (8, 2), NamedSharding(mesh, P("data", "model")),
+        lambda idx: jnp.ones((8, 2))[idx] * (rank + 1))
+    total = jax.jit(lambda a: jnp.sum(a),
+                    out_shardings=NamedSharding(mesh, P()))(x)
+    print("TOTAL", float(total), flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_cpu_bootstrap(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.format(repo=REPO, port=port))
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PALLAS_AXON_REMOTE_COMPILE")}
+    procs = [subprocess.Popen([sys.executable, str(script), str(r)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              env=env, text=True)
+             for r in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("2-process bootstrap timed out")
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out[-3000:]}"
+        # ones*(1) over 4 rows + ones*(2) over 4 rows, 2 cols each = 8 + 16
+        assert "TOTAL 24.0" in out, out[-3000:]
