@@ -1,0 +1,42 @@
+"""CPU-scale test of the integrated edit -> analysis driver
+(scripts/run_eval_report.py — the reference's process_result_images.py:17-89
+workflow chained onto a real three-backend edit run)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts"))
+
+
+@pytest.mark.slow
+def test_eval_report_tiny(tmp_path):
+    from run_eval_report import main
+
+    report = main(["--scale", "tiny", "--limit", "2", "--steps", "4",
+                   "--diff-steps", "2", "--out-dir", str(tmp_path)])
+
+    # Every backend produced an output for every image.
+    imgs = sorted(os.listdir(tmp_path / "images"))
+    for name in ("synthetic0", "synthetic1"):
+        for method in ("o", "param", "gan", "diff"):
+            assert f"{name}_{method}.jpg" in imgs
+
+    # The report chains scores, stats and FID/KID/ISC quality metrics.
+    assert set(report["scores"]["valence"].keys()) == {
+        "original", "param", "gan", "diff"}
+    assert "valence" in report["stats_tests"]
+    for method in ("param", "gan", "diff"):
+        q = report["quality_vs_original"][method]
+        assert "frechet_inception_distance" in q
+        assert q["frechet_inception_distance"] >= 0.0
+        assert "inception_score_mean" in q
+
+    on_disk = json.loads((tmp_path / "eval_report.json").read_text())
+    assert on_disk["config"]["images"] == 2
+    assert (tmp_path / "eval_report.md").exists()
