@@ -35,6 +35,24 @@ def _resize(image: np.ndarray, h: int, w: int) -> np.ndarray:
     return _from_pil(_to_pil(image).resize((w, h), Image.BILINEAR))
 
 
+def _odd_ksize(rng: np.random.Generator, limit: int) -> int:
+    """Odd kernel size in [3, limit] (albumentations samples odd only)."""
+    return int(rng.choice(np.arange(3, max(limit, 3) + 1, 2)))
+
+
+def _pad_to(image: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Reflect-pad up to at least (th, tw) — the alb.PadIfNeeded the reference
+    pairs with RandomCrop, so crops never silently shrink (ADVICE r2)."""
+    h, w = image.shape[:2]
+    if h >= th and w >= tw:
+        return image
+    ph, pw = max(th - h, 0), max(tw - w, 0)
+    pad = ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)) + \
+          ((0, 0),) * (image.ndim - 2)
+    mode = "reflect" if min(h, w) > 1 else "edge"
+    return np.pad(image, pad, mode=mode)
+
+
 def _parse_hw(value) -> Tuple[int, int]:
     if isinstance(value, int):
         return value, value
@@ -95,13 +113,15 @@ class Augmentor:
             return _resize(image, max(1, round(h * scale)), max(1, round(w * scale)))
         if key == "random_crop_h_w":
             ch, cw = _parse_hw(value)
-            ch, cw = min(ch, h), min(cw, w)
+            image = _pad_to(image, ch, cw)
+            h, w = image.shape[:2]
             top = int(rng.integers(0, h - ch + 1))
             left = int(rng.integers(0, w - cw + 1))
             return image[top:top + ch, left:left + cw]
         if key == "center_crop_h_w":
             ch, cw = _parse_hw(value)
-            ch, cw = min(ch, h), min(cw, w)
+            image = _pad_to(image, ch, cw)
+            h, w = image.shape[:2]
             top, left = (h - ch) // 2, (w - cw) // 2
             return image[top:top + ch, left:left + cw]
         if key == "horizontal_flip":
@@ -115,19 +135,17 @@ class Augmentor:
             cl = value.get("contrast_limit", 0.2)
             alpha = 1.0 + float(rng.uniform(-cl, cl))
             beta = float(rng.uniform(-bl, bl))
-            # albumentations: mean-anchored contrast, additive brightness
-            return np.clip((image - image.mean()) * alpha + image.mean() + beta,
-                           0.0, 1.0)
+            # albumentations RandomBrightnessContrast on float images:
+            # img*alpha + beta (NOT mean-anchored; ADVICE r2).
+            return np.clip(image * alpha + beta, 0.0, 1.0)
         if key == "blur":
             if rng.random() >= value.get("p", 0.5):
                 return image
-            k = int(rng.integers(3, max(4, value.get("blur_limit", 7) + 1)))
-            return _box_blur(image, k)
+            return _box_blur(image, _odd_ksize(rng, value.get("blur_limit", 7)))
         if key == "motion_blur":
             if rng.random() >= value.get("p", 0.5):
                 return image
-            k = int(rng.integers(3, max(4, value.get("blur_limit", 7) + 1)))
-            return _motion_blur(image, k, rng)
+            return _motion_blur(image, _odd_ksize(rng, value.get("blur_limit", 7)), rng)
         if key == "compression":
             if rng.random() >= value.get("p", 0.5):
                 return image

@@ -8,7 +8,6 @@ the reference exactly (they shape the loss landscape of the edit).
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
@@ -133,29 +132,30 @@ def gaussian_kernel1d(sigma, size: int, dtype=jnp.float32) -> jnp.ndarray:
     return g / jnp.sum(g)
 
 
-@functools.lru_cache(maxsize=None)
-def _reflect_shift_masks(size: int, ksize: int) -> np.ndarray:
-    """(K, size, size) 0/1 masks M[k, i, reflect(i+k-pad)] = 1 under kornia's
-    reflect border (m < 0 -> -m, m >= size -> 2*size-2-m). Trace-time
-    constants; a few MB at edit resolutions."""
-    m = np.arange(size)[None, :] + np.arange(ksize)[:, None] - ksize // 2
-    m = np.where(m < 0, -m, m)
-    m = np.where(m >= size, 2 * size - 2 - m, m)
-    masks = np.zeros((ksize, size, size), np.float32)
-    k_ix = np.repeat(np.arange(ksize), size)
-    i_ix = np.tile(np.arange(size), ksize)
-    np.add.at(masks, (k_ix, i_ix, m.reshape(-1)), 1.0)
-    return masks
-
-
 def _band_matrix(g: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Banded (size, size) matrix T = sum_k g[k] * M_k: the 1D reflect-padded
-    correlation as a dense matmul operand. Built as a tensordot over constant
-    shift masks — NO scatter: a sigma-dependent scatter build measured
-    catastrophic under vmap (batched scatter unrolls on TPU; the batch-8
-    bf16 edit step regressed 2x before this formulation)."""
-    masks = jnp.asarray(_reflect_shift_masks(size, int(g.shape[0])))
-    return jnp.tensordot(g, masks.astype(g.dtype), axes=1)
+    """Banded (size, size) matrix T[i, reflect(i+k-pad)] += g[k]: the 1D
+    reflect-padded correlation (kornia border: m < 0 -> -m, m >= size ->
+    2*size-2-m) as a dense matmul operand.
+
+    Built as K iota-compare one-hot accumulations — NO scatter (a
+    sigma-dependent scatter build measured catastrophic under vmap: batched
+    scatter unrolls on TPU and regressed the batch-8 bf16 edit step 2x) and
+    NO dense mask constants (the previous (K, size, size) f32 trace-time
+    masks were ~23 MB of HLO literal at the 480px edit and ~100 MB at 1024px
+    — the axon remote-compile endpoint rejects constant-laden programs with
+    HTTP 413; ADVICE r2). The one-hots come from broadcasted iota compares,
+    so the HLO stays a few KB and XLA fuses the K adds."""
+    ksize = int(g.shape[0])
+    pad = ksize // 2
+    rows = jnp.arange(size)
+    cols = rows[None, :]
+    t = jnp.zeros((size, size), g.dtype)
+    for k in range(ksize):
+        m = rows + (k - pad)
+        m = jnp.where(m < 0, -m, m)
+        m = jnp.where(m >= size, 2 * size - 2 - m, m)
+        t = t + g[k] * (m[:, None] == cols).astype(g.dtype)
+    return t
 
 
 def apply_gaussian_blur(image: jnp.ndarray, p, kernel_size: int = 25) -> jnp.ndarray:
