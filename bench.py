@@ -92,18 +92,39 @@ def main():
     images_per_sec_per_chip = BATCH / elapsed / n_chips
     step_latency_ms = elapsed / NUM_STEPS * 1000.0  # batched step latency
 
-    # Achieved FLOP/s + MFU (VERDICT r2 weak #1): XLA's own cost analysis of
-    # the compiled edit program, divided by measured wall time. Reported
-    # against the v5e bf16 MXU peak (197 TFLOP/s) regardless of dtype.
+    # Achieved FLOP/s + MFU (VERDICT r2 weak #1). XLA's cost analysis counts
+    # a lax.scan body ONCE (trip count is opaque to it), so analyzing the
+    # full edit undercounts ~NUM_STEPS x. Instead analyze ONE vmapped
+    # value_and_grad objective step — the exact computation the scan body
+    # runs, minus the negligible Adam update — and multiply by NUM_STEPS.
+    # Reported against the v5e bf16 MXU peak (197 TFLOP/s) regardless of
+    # dtype.
     V5E_BF16_PEAK = 197e12
     tflops = mfu = None
     try:
-        cost = edit.lower(models, images, alphas).compile().cost_analysis()
+        from rgie_tpu.engine.parametric import EditContext
+        from rgie_tpu.ops import chain as CH
+
+        objective = P.make_objective(va_loss, clip_enc, cfg)
+
+        def one_step(models, images, alphas):
+            def single(image, alpha):
+                ctx = EditContext(image=image[None],
+                                  target=jnp.clip(alpha, 0.0, 1.0)[None],
+                                  clip_features=jnp.zeros((1, 512), image.dtype))
+                x0 = CH.pack_params(CH.init_params(image.dtype))
+                return jax.value_and_grad(
+                    lambda x: objective(x, ctx, models))(x0)
+
+            return jax.vmap(single, in_axes=(0, 0))(images, alphas)
+
+        cost = (jax.jit(one_step).lower(models, images, alphas)
+                .compile().cost_analysis())
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        if flops > 0:
-            tflops = flops / elapsed / 1e12
+        step_flops = float(cost.get("flops", 0.0))
+        if step_flops > 0:
+            tflops = step_flops * NUM_STEPS / elapsed / 1e12
             mfu = tflops * 1e12 / V5E_BF16_PEAK
     except Exception:
         pass
