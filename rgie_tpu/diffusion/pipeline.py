@@ -137,6 +137,61 @@ class InversionResamplingPipeline:
 
     # -- inversion ----------------------------------------------------------
 
+    def invert_tables(self, end_iteration: Optional[int] = None
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Full inversion step tables ``(ts, src_ts, i_vals)``, aligned per
+        step. ``src_ts`` is only meaningful for table-DPM, ``i_vals`` (global
+        step indices) for sigma-DPM; unused slots are zeros so the shapes are
+        uniform. A segmented driver slices these and feeds ``invert_steps``
+        chunk by chunk."""
+        if self.scheduler_type == "dpm" and self.sigma_sched_inv is not None:
+            ts = self.sigma_sched_inv.timesteps
+            if end_iteration is not None:
+                ts = ts[:end_iteration]
+            i_vals = jnp.arange(ts.shape[0])
+            return ts, jnp.zeros_like(ts), i_vals
+        ts = SCH.inverse_timesteps(self.sched)
+        if end_iteration is not None:
+            ts = ts[:end_iteration]
+        if self.scheduler_type == "dpm":
+            dt = self.sched.num_train_timesteps // self.sched.num_inference_steps
+            src_ts = jnp.concatenate([ts[:1] - dt, ts[:-1]])
+        else:
+            src_ts = jnp.zeros_like(ts)
+        return ts, src_ts, jnp.arange(ts.shape[0])
+
+    def invert_steps(self, params: PipelineParams, latents: jnp.ndarray,
+                     state: SCH.DpmState, embeds: jnp.ndarray,
+                     added: Optional[SdxlCond], ts: jnp.ndarray,
+                     src_ts: jnp.ndarray, i_vals: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, SCH.DpmState, jnp.ndarray]:
+        """Inversion over an explicit step window (a slice of
+        ``invert_tables``). Carries the DPM state across windows (ignored by
+        DDIM). Returns (final_latents, state, pivots (K, ...))."""
+        use_sigma = self.scheduler_type == "dpm" and self.sigma_sched_inv is not None
+
+        def body(carry, x):
+            lat, st = carry
+            t, t_src, i = x
+            if use_sigma:
+                # Sigma-space (karras/lu) inversion: step i moves sigmas[i]
+                # -> sigmas[i+1] (ascending from 0 = clean latent); the UNet
+                # conditions on the table's rounded timesteps (the diffusers
+                # inverse-scheduler loop convention).
+                eps, _ = self._unet(params.unet, lat, t, embeds, added)
+                new, st = SCH.dpm_sigma_step(self.sigma_sched_inv, eps, i, lat, st)
+            elif self.scheduler_type == "dpm":
+                eps, _ = self._unet(params.unet, lat, t_src, embeds, added)
+                new, st = SCH.dpm_step(self.sched, eps, t_src, t, lat, st)
+            else:
+                eps, _ = self._unet(params.unet, lat, t, embeds, added)
+                new = SCH.ddim_inverse_step(self.sched, eps, t, lat)
+            return (new, st), new
+
+        (final, state), pivots = jax.lax.scan(body, (latents, state),
+                                              (ts, src_ts, i_vals))
+        return final, state, pivots
+
     def reverse_sample(self, params: PipelineParams, latents: jnp.ndarray,
                        embeds: jnp.ndarray, added: Optional[SdxlCond] = None,
                        end_iteration: Optional[int] = None
@@ -144,55 +199,10 @@ class InversionResamplingPipeline:
         """DDIM inversion (reference: reverse_sample,
         ...StableDiffusionPipeline.py:26-49). Returns (noisy_latents,
         pivot_latents (S+1, ...)) — pivots[0] is the clean latent."""
-        if self.scheduler_type == "dpm" and self.sigma_sched_inv is not None:
-            # Sigma-space inversion (karras/lu tables): step i moves
-            # sigmas[i] -> sigmas[i+1] (ascending from 0 = clean latent), the
-            # UNet conditions on the table's rounded timesteps (the diffusers
-            # inverse-scheduler loop convention).
-            ssched = self.sigma_sched_inv
-            ts = ssched.timesteps
-            if end_iteration is not None:
-                ts = ts[:end_iteration]
-
-            def body_sig(carry, t_i):
-                lat, state = carry
-                t, i = t_i
-                eps, _ = self._unet(params.unet, lat, t, embeds, added)
-                new, state = SCH.dpm_sigma_step(ssched, eps, i, lat, state)
-                return (new, state), new
-
-            (final, _), pivots = jax.lax.scan(
-                body_sig,
-                (latents, SCH.dpm_init_state(latents.shape, latents.dtype)),
-                (ts, jnp.arange(ts.shape[0])))
-            return final, jnp.concatenate([latents[None], pivots], axis=0)
-
-        ts = SCH.inverse_timesteps(self.sched)
-        if end_iteration is not None:
-            ts = ts[:end_iteration]
-
-        if self.scheduler_type == "dpm":
-            dt = self.sched.num_train_timesteps // self.sched.num_inference_steps
-            src_ts = jnp.concatenate([ts[:1] - dt, ts[:-1]])
-
-            def body_dpm(carry, t_pair):
-                lat, state = carry
-                t_src, t_dst = t_pair
-                eps, _ = self._unet(params.unet, lat, t_src, embeds, added)
-                new, state = SCH.dpm_step(self.sched, eps, t_src, t_dst, lat, state)
-                return (new, state), new
-
-            (final, _), pivots = jax.lax.scan(
-                body_dpm, (latents, SCH.dpm_init_state(latents.shape, latents.dtype)),
-                (src_ts, ts))
-            return final, jnp.concatenate([latents[None], pivots], axis=0)
-
-        def body(lat, t):
-            eps, _ = self._unet(params.unet, lat, t, embeds, added)
-            new = SCH.ddim_inverse_step(self.sched, eps, t, lat)
-            return new, new
-
-        final, pivots = jax.lax.scan(body, latents, ts)
+        ts, src_ts, i_vals = self.invert_tables(end_iteration)
+        state = SCH.dpm_init_state(latents.shape, latents.dtype)
+        final, _, pivots = self.invert_steps(params, latents, state, embeds,
+                                             added, ts, src_ts, i_vals)
         return final, jnp.concatenate([latents[None], pivots], axis=0)
 
     # -- sampling with CFG + classifier guidance -----------------------------
@@ -212,14 +222,52 @@ class InversionResamplingPipeline:
         (2, L, D) [uncond; cond] when guidance_scale > 1 else (1, L, D).
         ``uncond_embeds_per_step`` (S, L, D) substitutes NTO embeddings
         (:108-109)."""
+        ts, next_ts, steps = self.sample_tables(start_iteration)
+        lat, state = self.sample_steps(
+            params, latents, SCH.dpm_init_state(latents.shape, latents.dtype),
+            prompt_embeds, added, ts, next_ts, steps,
+            guidance_scale=guidance_scale,
+            guidance_clf_scale=guidance_clf_scale,
+            guidance_rescale=guidance_rescale,
+            uncond_embeds_per_step=uncond_embeds_per_step,
+            midu_is_minimized=midu_is_minimized,
+            midu_reference_value=midu_reference_value)
+        return lat
+
+    def sample_tables(self, start_iteration: int = 0
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Sampling step tables ``(ts, next_ts, i_vals)`` from
+        ``start_iteration`` to the end; slice all three together to feed
+        ``sample_steps`` window by window."""
         use_sigma = self.scheduler_type == "dpm" and self.sigma_sched is not None
         if use_sigma:
             ts = self.sigma_sched.timesteps[start_iteration:]
         else:
             ts = self.sched.timesteps[start_iteration:]
+        dt = self.sched.num_train_timesteps // self.sched.num_inference_steps
+        next_ts = jnp.concatenate([ts[1:], ts[-1:] - dt])
+        steps = jnp.arange(start_iteration, start_iteration + ts.shape[0])
+        return ts, next_ts, steps
+
+    def sample_steps(self, params: PipelineParams, latents: jnp.ndarray,
+                     dpm_state: SCH.DpmState, prompt_embeds: jnp.ndarray,
+                     added: Optional[SdxlCond], ts: jnp.ndarray,
+                     next_ts: jnp.ndarray, i_vals: jnp.ndarray,
+                     guidance_scale: float = 7.5,
+                     guidance_clf_scale: float = 0.0,
+                     guidance_rescale: float = 0.0,
+                     uncond_embeds_per_step: Optional[jnp.ndarray] = None,
+                     midu_is_minimized: bool = True,
+                     midu_reference_value: Optional[jnp.ndarray] = None
+                     ) -> Tuple[jnp.ndarray, SCH.DpmState]:
+        """Guided sampling over an explicit step window (a slice of
+        ``sample_tables``); ``i_vals`` are GLOBAL step indices (they index
+        ``uncond_embeds_per_step`` and the sigma tables). Returns
+        (latents, dpm_state) so a segmented driver can chain windows."""
+        use_sigma = self.scheduler_type == "dpm" and self.sigma_sched is not None
         do_cfg = guidance_scale > 1.0
         do_clf = self.midu_model is not None and guidance_clf_scale > 0.0
-        steps = jnp.arange(start_iteration, start_iteration + ts.shape[0])
+        latents_in, steps = latents, i_vals
 
         # Classifier guidance runs single-latent UNet passes with the UNCOND
         # conditioning row (the reference uses prompt_embeds[0],
@@ -235,9 +283,6 @@ class InversionResamplingPipeline:
                                      is_minimized=midu_is_minimized,
                                      reference_value=midu_reference_value)
             return clf.score(mid)
-
-        dt = self.sched.num_train_timesteps // self.sched.num_inference_steps
-        next_ts = jnp.concatenate([ts[1:], ts[-1:] - dt])
 
         def body(carry, t_and_i):
             lat, dpm_state = carry
@@ -279,9 +324,9 @@ class InversionResamplingPipeline:
                 lat = lat - guidance_clf_scale * grad
             return (lat, dpm_state), None
 
-        init = (latents, SCH.dpm_init_state(latents.shape, latents.dtype))
-        (final, _), _ = jax.lax.scan(body, init, (ts, next_ts, steps))
-        return final
+        (final, dpm_state), _ = jax.lax.scan(body, (latents_in, dpm_state),
+                                             (ts, next_ts, steps))
+        return final, dpm_state
 
     # -- null-text optimization ----------------------------------------------
 
@@ -302,6 +347,36 @@ class InversionResamplingPipeline:
         loss < epsilon + i * 2e-5.
         """
         s = self.sched.num_inference_steps
+        lat0 = pivot_latents[-1]
+        # Step i consumes pivot pair (carry lat_cur, pivot_latents[s-i-1]):
+        # the window method takes the per-step prev-pivots pre-gathered. The
+        # index is CLIPPED like the dynamic gather it replaces, so a
+        # truncated inversion (end_iteration < S) keeps the old repeat-last
+        # behavior instead of a shape error.
+        idx = jnp.clip(s - 1 - jnp.arange(s), 0, pivot_latents.shape[0] - 1)
+        pivots_rev = pivot_latents[idx]
+        _, _, uncond_list = self.null_optimization_steps(
+            params, lat0, uncond_embeds, pivots_rev, cond_embeds,
+            jnp.arange(s), guidance_scale, added_cond=added_cond,
+            added_uncond=added_uncond, num_inner_steps=num_inner_steps,
+            epsilon=epsilon)
+        return uncond_list.squeeze(1) if uncond_list.ndim == 4 else uncond_list
+
+    def null_optimization_steps(self, params: PipelineParams,
+                                lat_cur: jnp.ndarray, uncond: jnp.ndarray,
+                                pivots_rev: jnp.ndarray,
+                                cond_embeds: jnp.ndarray, i_vals: jnp.ndarray,
+                                guidance_scale: float,
+                                added_cond: Optional[SdxlCond] = None,
+                                added_uncond: Optional[SdxlCond] = None,
+                                num_inner_steps: int = 10,
+                                epsilon: float = 1e-5
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """NTO over an explicit outer-step window. ``i_vals`` are GLOBAL outer
+        indices (lr ramp + early-stop threshold depend on them);
+        ``pivots_rev[k]`` is the prev-pivot for step ``i_vals[k]`` (i.e.
+        pivot_latents[s - i - 1]). Returns (lat_cur, uncond, uncond_list
+        (K, L, D)) so a segmented driver can chain windows."""
         ts = self.sched.timesteps
         base_lr = 1e-1 if self.is_xl else 1e-2
         b1, b2, adam_eps = 0.9, 0.999, 1e-8
@@ -315,10 +390,10 @@ class InversionResamplingPipeline:
             rec = prev_step(eps, t, lat_cur)
             return jnp.mean((rec - lat_prev) ** 2)
 
-        def outer_body(carry, i):
+        def outer_body(carry, x):
             lat_cur, uncond = carry
+            i, lat_prev = x
             t = ts[i]
-            lat_prev = pivot_latents[s - i - 1]
             eps_cond, _ = self._unet(params.unet, lat_cur, t, cond_embeds, added_cond)
             eps_cond = jax.lax.stop_gradient(eps_cond)
             lr = base_lr * (1.0 - i.astype(jnp.float32) / 100.0)
@@ -361,10 +436,9 @@ class InversionResamplingPipeline:
             lat_next = prev_step(eps, t, lat_cur)
             return (lat_next, uncond_opt), uncond_opt
 
-        lat0 = pivot_latents[-1]
-        (_, _), uncond_list = jax.lax.scan(outer_body, (lat0, uncond_embeds),
-                                           jnp.arange(s))
-        return uncond_list.squeeze(1) if uncond_list.ndim == 4 else uncond_list
+        (lat_cur, uncond), uncond_list = jax.lax.scan(
+            outer_body, (lat_cur, uncond), (i_vals, pivots_rev))
+        return lat_cur, uncond, uncond_list
 
 
 def rescale_noise_cfg(noise_cfg: jnp.ndarray, noise_pred_text: jnp.ndarray,

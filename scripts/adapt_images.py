@@ -48,6 +48,12 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize UNet activations on differentiated paths "
                          "(bigger batches at the cost of one extra forward)")
+    ap.add_argument("--segment", type=int, default=0, metavar="K",
+                    help="chain phase programs of K diffusion steps from the "
+                         "host (diffusion/segmented.py) instead of one fused "
+                         "XLA execution — required for batch/resolution "
+                         "combos whose single execution would exceed the "
+                         "~60s worker kill (see BASELINE.md round 3)")
     ap.add_argument("--remat-mode", choices=("call", "block"), default="block",
                     help="with --remat: 'block' remats each UNet res/attn "
                          "block (peak = boundaries + one block — the NTO "
@@ -266,11 +272,18 @@ def main():
     out_sub = os.path.join(out_dir, label)
     os.makedirs(out_sub, exist_ok=True)
 
-    program = jax.jit(make_batched_edit(
-        pipe, guidance_scale=gcfg.cfg_scale, guidance_clf_scale=gcfg.clf_scale,
+    edit_kwargs = dict(
+        guidance_scale=gcfg.cfg_scale, guidance_clf_scale=gcfg.clf_scale,
         use_nto=gcfg.is_nto, use_reference=gcfg.reference_value is not None,
         end_iteration=acfg.resolved_end_iteration(),
-        midu_is_minimized=not gcfg.max))
+        midu_is_minimized=not gcfg.max)
+    if args.segment > 0:
+        from rgie_tpu.diffusion.segmented import make_segmented_edit
+
+        program = make_segmented_edit(pipe, chunk_steps=args.segment,
+                                      **edit_kwargs)
+    else:
+        program = jax.jit(make_batched_edit(pipe, **edit_kwargs))
     empty = embeds_fn("", "")
     added_empty = None
     if is_xl:

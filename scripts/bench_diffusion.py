@@ -54,6 +54,15 @@ def main():
                          "'call' = whole-call jax.checkpoint (round-2 mode)")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--segment", type=int, default=0, metavar="K",
+                    help="run the SEGMENTED edit (diffusion/segmented.py): "
+                         "phase programs of K diffusion steps chained from "
+                         "the host. Lifts the ~60s single-execution kill on "
+                         "tunneled workers that caps the monolith's batch")
+    ap.add_argument("--memory-analysis", action="store_true",
+                    help="compile only and print XLA's memory analysis "
+                         "(temp/arg/output/peak bytes) without running — the "
+                         "telemetry for per-chip batch-ceiling work")
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a device trace of one steady-state run and "
                          "print the top ops (profile_param_edit.parse_trace)")
@@ -158,9 +167,35 @@ def main():
     conds = BatchedConds(**conds_kw)
     alphas = jax.device_put(jnp.zeros((B, 2)), sharding)
 
-    program = jax.jit(make_batched_edit(
-        pipe, guidance_scale=2.0, guidance_clf_scale=0.2,
-        use_nto=not args.no_nto, num_inner_steps=args.num_inner))
+    if args.segment > 0:
+        from rgie_tpu.diffusion.segmented import make_segmented_edit
+
+        program = make_segmented_edit(
+            pipe, guidance_scale=2.0, guidance_clf_scale=0.2,
+            use_nto=not args.no_nto, num_inner_steps=args.num_inner,
+            chunk_steps=args.segment)
+    else:
+        program = jax.jit(make_batched_edit(
+            pipe, guidance_scale=2.0, guidance_clf_scale=0.2,
+            use_nto=not args.no_nto, num_inner_steps=args.num_inner))
+
+    if args.memory_analysis:
+        if args.segment > 0:
+            ap.error("--memory-analysis analyzes the monolithic program; "
+                     "drop --segment")
+        comp = program.lower(params, images, empty, conds, alphas,
+                             added_empty).compile()
+        ma = comp.memory_analysis()
+        out = {}
+        for f in ("temp_size_in_bytes", "argument_size_in_bytes",
+                  "output_size_in_bytes", "alias_size_in_bytes",
+                  "generated_code_size_in_bytes", "peak_memory_in_bytes"):
+            v = getattr(ma, f, None)
+            if v is not None:
+                out[f] = f"{v / 1e9:.3f} GB" if v > 1e6 else int(v)
+        print(json.dumps({"batch": B, "scale": args.scale, "size": size,
+                          "remat_mode": args.remat_mode, **out}), flush=True)
+        return
 
     def run_once():
         out = program(params, images, empty, conds, alphas, added_empty)
@@ -191,6 +226,7 @@ def main():
         "detail": {
             "batch": B, "steps": args.num_steps, "nto": not args.no_nto,
             "remat": args.remat, "remat_mode": args.remat_mode,
+            "segment": args.segment or None,
             "edit_seconds": round(elapsed, 2),
             "unet_fwd_equivalents_per_image": fwd_eq,
             "per_unet_fwd_ms": round(per_unet_ms, 2),
