@@ -56,6 +56,9 @@ def _save_jpg(path: str, image01) -> None:
 
 def main(argv=None):
     args = parse_args(argv)
+    from rgie_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()  # also honors RGIE_PLATFORM=cpu (every CLI does)
     import jax
     import jax.numpy as jnp
     import numpy as np
