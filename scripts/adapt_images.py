@@ -265,7 +265,14 @@ def main():
     from rgie_tpu.parallel import batch_sharding, create_mesh, replicate
     from rgie_tpu.utils.stats import print_score
 
-    mesh = create_mesh()
+    # Data axis = gcd(batch, devices): batch 2 on an 8-chip host (or batch 6
+    # on 4 chips) shards over the largest divisor instead of erroring on the
+    # batch-divisibility requirement of NamedSharding.
+    import math as _math
+
+    n_dev = len(jax.devices())
+    n_data = _math.gcd(args.batch, n_dev) or 1
+    mesh = create_mesh((n_data, 1), devices=jax.devices()[:n_data])
     sharding = batch_sharding(mesh)
     params = replicate(params, mesh)
     label = gcfg.resolved_label()
