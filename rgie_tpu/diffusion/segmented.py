@@ -87,8 +87,11 @@ def make_segmented_edit(pipe: InversionResamplingPipeline, *,
         return pipe.invert_steps(params, lat, state, empty, added_empty,
                                  ts, src_ts, i_vals)
 
+    # The latent/state carries are dead after each window — donate them so
+    # chained windows reuse the buffers instead of copying (no-op on CPU).
     jit_invert = jax.jit(jax.vmap(
-        invert_chunk, in_axes=(None, 0, 0, None, None, None, None, None)))
+        invert_chunk, in_axes=(None, 0, 0, None, None, None, None, None)),
+        donate_argnums=(1, 2))
 
     def nto_chunk(params, lat_cur, uncond, pivots_rev, cond_embeds,
                   added_cond, added_uncond, i_vals):
@@ -98,7 +101,8 @@ def make_segmented_edit(pipe: InversionResamplingPipeline, *,
             num_inner_steps=num_inner_steps, epsilon=nto_epsilon)
 
     jit_nto = jax.jit(jax.vmap(
-        nto_chunk, in_axes=(None, 0, 0, 0, 0, 0, 0, None)))
+        nto_chunk, in_axes=(None, 0, 0, 0, 0, 0, 0, None)),
+        donate_argnums=(1, 2))
 
     def sample_chunk(params, lat, state, cfg_embeds, added_cfg, nto_stack,
                      ref, ts, next_ts, i_vals):
@@ -115,7 +119,8 @@ def make_segmented_edit(pipe: InversionResamplingPipeline, *,
     ref_ax = 0 if use_reference else None
     jit_sample = jax.jit(jax.vmap(
         sample_chunk, in_axes=(None, 0, 0, 0, 0, nto_ax, ref_ax,
-                               None, None, None)))
+                               None, None, None)),
+        donate_argnums=(1, 2))
 
     def finish(params, lat, empty, added_empty):
         clf = ValenceArousalMidu(model=pipe.midu_model, variables=params.midu)
