@@ -12,6 +12,7 @@ pass ``key`` for stochastic parity.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional
 
 import jax
@@ -19,6 +20,16 @@ import jax.numpy as jnp
 
 from rgie_tpu.models.resnet import resnet50
 from rgie_tpu.ops import geometry as G
+
+#: Ten-crop-in-s2d-space toggle (env RGIE_TENCROP_S2D=0 disables). The
+#: deterministic crop offsets at the production 480/448 geometry are all
+#: EVEN, so space-to-depth runs ONCE per image before the crops and the stem
+#: becomes a stride-1 4x4 conv on 12-channel tensors (StemConv.s2d_input) —
+#: exact numerics (s2d-space pad zeros == per-crop image pad zeros). This is
+#: the fix for both round-2 stem findings: the 3-channel stride-2 stem
+#: transpose was the #1 op (7.7%), and the round-2 per-crop S2D attempt
+#: (RGIE_STEM_S2D) regressed 1.8x because it transposed each 448px crop.
+TENCROP_S2D = os.environ.get("RGIE_TENCROP_S2D", "1") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,11 +48,23 @@ class EmotionRegressor:
 
     def __call__(self, images: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
         """(B, H, W, 3) -> (B, num_classes) mean prediction over crops."""
-        model = resnet50(self.num_classes, self.dtype)
         x = G.resize_shorter_side(images.astype(self.dtype), self.input_size, antialias=True)
-        x = G.replicate_and_crop(x, self.crop_size, self.num_replications, key=key)
-        if self.normalize:
-            x = (x - 0.5) / 0.5
+        h, w = x.shape[1], x.shape[2]
+        fused = (TENCROP_S2D and key is None and
+                 G.tencrop_offsets_even(h, w, self.crop_size,
+                                        self.num_replications))
+        model = resnet50(self.num_classes, self.dtype, stem_s2d_input=fused)
+        if fused:
+            if self.normalize:
+                x = (x - 0.5) / 0.5
+            x = G.space_to_depth(x, 2)
+            x = G.replicate_and_crop_s2d(x, self.crop_size, h, w,
+                                         self.num_replications)
+        else:
+            x = G.replicate_and_crop(x, self.crop_size, self.num_replications,
+                                     key=key)
+            if self.normalize:
+                x = (x - 0.5) / 0.5
         out = model.apply(self.variables, x, train=False)
         out = G.mean_replicated(out, self.num_replications)
         if self.use_sigmoid:

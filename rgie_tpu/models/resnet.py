@@ -81,19 +81,38 @@ class StemConv(nn.Module):
     (the added taps multiply zeros); turns the stem's input gradient from a
     3-channel stride-2 transposed conv into a stride-1 conv.
 
+    With ``s2d_input=True`` the module instead CONSUMES an already
+    space-to-depth input (B, H/2, W/2, 4*cin; channel order (row-phase,
+    col-phase, cin) as produced by rgie_tpu.ops.geometry.space_to_depth) and
+    runs the equivalent stride-1 4x4 conv whose s2d-space zero padding
+    ((2,1),(2,1)) corresponds EXACTLY to the image-space pad-3 zeros — this
+    is how the ten-crop regressor shares ONE s2d transpose across all ten
+    crops (rgie_tpu.models.emotion) instead of transposing each 448px crop.
+
     Param tree matches nn.Conv ("kernel", HWIO 7x7x3xF) so torchvision
     checkpoints convert unchanged (utils.torch_convert.convert_resnet50)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    s2d_input: bool = False
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        cin = x.shape[-1] // 4 if self.s2d_input else x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (7, 7, cin, self.features))
         x = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
+        if self.s2d_input:
+            # Top/left zero-pad the 7x7 taps to 8x8 so tap index = 2r+phase-1
+            # (k8[0] multiplies the out-of-window row), then fold 2x2 phases
+            # into channels in (row-phase, col-phase, cin) order.
+            k8 = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            k4 = k8.reshape(4, 2, 4, 2, cin, self.features).transpose(
+                0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin, self.features)
+            return jax.lax.conv_general_dilated(
+                x, k4, (1, 1), ((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         b, h, w, _ = x.shape
         if h % 2 or w % 2 or not S2D:
             return jax.lax.conv_general_dilated(
@@ -120,6 +139,7 @@ class ResNet(nn.Module):
     num_classes: int
     num_filters: int = 64
     dtype: jnp.dtype = jnp.float32
+    stem_s2d_input: bool = False   # see StemConv.s2d_input
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -127,7 +147,8 @@ class ResNet(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
 
-        x = StemConv(self.num_filters, dtype=self.dtype, name="conv1")(x)
+        x = StemConv(self.num_filters, dtype=self.dtype,
+                     s2d_input=self.stem_s2d_input, name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = max_pool_same_as_torch(x)
@@ -145,8 +166,10 @@ class ResNet(nn.Module):
         return x
 
 
-def resnet50(num_classes: int, dtype=jnp.float32) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 6, 3), num_classes=num_classes, dtype=dtype)
+def resnet50(num_classes: int, dtype=jnp.float32,
+             stem_s2d_input: bool = False) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), num_classes=num_classes,
+                  dtype=dtype, stem_s2d_input=stem_s2d_input)
 
 
 def init_resnet50(key, num_classes: int, input_size: int = 224, dtype=jnp.float32):
