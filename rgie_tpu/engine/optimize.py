@@ -16,6 +16,7 @@ objective, removing the reference's per-eval CPU<->device tensor rebuild.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
@@ -127,8 +128,15 @@ def optimize(objective: Callable[[jnp.ndarray], jnp.ndarray],
         return (x, opt_state, best_x, best_loss, best_step), loss
 
     init = (x0, opt_state, x0, jnp.asarray(jnp.inf, x0.dtype), jnp.asarray(0, jnp.int32))
+    # unroll: while-loop iteration boundaries are scheduling barriers on TPU
+    # (the device trace showed ~3% IDLE between steps); a small unroll lets
+    # XLA fuse/overlap across consecutive Adam steps. Default 1 until the
+    # unrolled body is device-measured faster (repo rule: measure perf
+    # changes on the TPU before keeping them) — A/B via RGIE_SCAN_UNROLL=2.
+    unroll = int(os.environ.get("RGIE_SCAN_UNROLL", "1"))
     (x, _, best_x, best_loss, best_step), losses = jax.lax.scan(
-        step_fn, init, jnp.arange(cfg.num_steps))
+        step_fn, init, jnp.arange(cfg.num_steps),
+        unroll=max(1, min(unroll, cfg.num_steps)))
     return OptResult(best_x=best_x, best_loss=best_loss, best_step=best_step,
                      first_loss=losses[0], last_x=x, losses=losses)
 
