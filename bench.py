@@ -54,7 +54,30 @@ if TORCH_CPU_STEP_SECONDS is None and os.path.exists(_BASELINE_FILE):
         TORCH_CPU_STEP_SECONDS = json.load(f).get("step_seconds")
 
 
-def main():
+# Tunnel-fault retry policy (VERDICT r3 weak #1): a single axon hiccup at
+# driver time must not erase the round's perf evidence. After a worker crash
+# the next process can hit FAILED_PRECONDITION for ~60-150 s (CLAUDE.md), so
+# retry transient backend errors with a settle delay in between.
+MAX_ATTEMPTS = int(os.environ.get("RGIE_BENCH_ATTEMPTS", "3"))
+SETTLE_SECONDS = (90.0, 150.0)
+_TRANSIENT = ("UNAVAILABLE", "FAILED_PRECONDITION", "DEADLINE_EXCEEDED",
+              "Unable to initialize backend")
+
+
+def _is_transient(exc: BaseException) -> bool:
+    return any(tok in repr(exc) for tok in _TRANSIENT)
+
+
+def _clear_backends():
+    try:
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+    except Exception:
+        pass
+
+
+def measure():
     dtype = jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     regressor = create_regressor(k1, dtype=dtype)        # 480/448 ten-crop ResNet-50
@@ -126,15 +149,17 @@ def main():
         if step_flops > 0:
             tflops = step_flops * NUM_STEPS / elapsed / 1e12
             mfu = tflops * 1e12 / V5E_BF16_PEAK
-    except Exception:
-        pass
+    except (AttributeError, KeyError, TypeError, ValueError) as exc:
+        # Narrow catch (ADVICE r3): cost_analysis API drift must be visible,
+        # not a silently-null MFU field.
+        print(f"bench.py: MFU computation failed: {exc!r}", file=sys.stderr)
 
     vs_baseline = None
     if TORCH_CPU_STEP_SECONDS:
         torch_images_per_sec = 1.0 / (NUM_STEPS * TORCH_CPU_STEP_SECONDS)
         vs_baseline = images_per_sec_per_chip / torch_images_per_sec
 
-    print(json.dumps({
+    return {
         "metric": "edited images/sec/chip (256px, 100-step Adam edit)",
         "value": round(images_per_sec_per_chip, 4),
         "unit": "images/sec/chip",
@@ -151,8 +176,62 @@ def main():
             "achieved_tflops": round(tflops, 2) if tflops else None,
             "mfu_pct": round(mfu * 100.0, 2) if mfu else None,
         },
+    }
+
+
+def _record_history(result):
+    """Append the measurement to artifacts/bench_history.jsonl (VERDICT r3
+    #8: every on-chip number auditable against a raw run)."""
+    try:
+        import subprocess
+
+        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)),
+                             timeout=10).stdout.strip() or None
+    except Exception:
+        sha = None
+    entry = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S%z"), "git_sha": sha,
+             "bench": "bench.py", **result}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts", "bench_history.jsonl")
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+    except OSError as exc:
+        print(f"bench.py: could not append history: {exc!r}", file=sys.stderr)
+
+
+def main():
+    last_exc = None
+    for attempt in range(MAX_ATTEMPTS):
+        try:
+            result = measure()
+            _record_history(result)
+            print(json.dumps(result))
+            return 0
+        except Exception as exc:  # noqa: BLE001 — classify, then re-raise
+            if not _is_transient(exc) or attempt == MAX_ATTEMPTS - 1:
+                last_exc = exc
+                break
+            settle = SETTLE_SECONDS[min(attempt, len(SETTLE_SECONDS) - 1)]
+            print(f"bench.py: transient backend error (attempt "
+                  f"{attempt + 1}/{MAX_ATTEMPTS}): {exc!r}; settling "
+                  f"{settle:.0f}s before retry", file=sys.stderr)
+            _clear_backends()
+            time.sleep(settle)
+    # Final failure: still emit the one JSON line, with an "error" field,
+    # so the driver records WHAT failed rather than a bare traceback.
+    print(json.dumps({
+        "metric": "edited images/sec/chip (256px, 100-step Adam edit)",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": repr(last_exc),
     }))
+    return 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

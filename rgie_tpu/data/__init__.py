@@ -7,6 +7,7 @@ from rgie_tpu.data.dataset import (
     CocoCaptionsDataset,
     first_caption,
     iterate_batches,
+    ShardedView,
     load_image_rgb,
     preprocess_image,
 )

@@ -103,6 +103,34 @@ class ImageDirectoryDataset:
         return load_image_rgb(path), (os.path.basename(path), path, "")
 
 
+class ShardedView:
+    """Rank-interleaved view of a dataset for multi-host runs (SURVEY §2.3:
+    data-parallel-over-DCN): process p of n sees items p, p+n, p+2n, ...
+
+    Every process reports the SAME length (ceil(N / n)) so all ranks run the
+    same number of batches — a requirement for the lockstep SPMD programs
+    they jointly execute. Trailing ranks whose shard is one item short clamp
+    to the last dataset item; the duplicate edit overwrites the same output
+    file, so results are unchanged."""
+
+    def __init__(self, dataset, process_index: int, process_count: int):
+        if not 0 <= process_index < process_count:
+            raise ValueError(f"process_index {process_index} out of range "
+                             f"for process_count {process_count}")
+        self.dataset = dataset
+        self.offset = process_index
+        self.stride = process_count
+
+    def __len__(self) -> int:
+        return -(-len(self.dataset) // self.stride)
+
+    def __getitem__(self, ix: int):
+        if ix >= len(self):
+            raise IndexError(ix)
+        return self.dataset[min(self.offset + ix * self.stride,
+                                len(self.dataset) - 1)]
+
+
 def first_caption(joined: str) -> str:
     """The adapter uses the first of the '/'-joined captions (adapt_images.py:72)."""
     return joined.split("/")[0]

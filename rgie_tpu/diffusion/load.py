@@ -120,12 +120,19 @@ def vae_config_from_json(cfg: Dict[str, Any], is_xl: bool) -> VaeConfig:
 
 
 class DiffusersCheckpoint:
-    """Converted contents of one diffusers snapshot directory."""
+    """Converted contents of one diffusers snapshot directory.
+
+    ``text_cfg``/``text2_cfg`` are the raw ``text_encoder*/config.json``
+    dicts (ADVICE r3: SD1.x towers use hidden_act=quick_gelu while
+    SD2.x/sd-turbo use gelu — hardcoding per role silently mis-activates
+    every transformer block; derive from the checkpoint instead)."""
 
     def __init__(self, unet_cfg: UNetConfig, unet_vars: Any,
                  vae_cfg: VaeConfig, vae_vars: Any,
                  text_vars: Any, text2_vars: Any = None,
-                 merges_path: Optional[str] = None):
+                 merges_path: Optional[str] = None,
+                 text_cfg: Optional[Dict[str, Any]] = None,
+                 text2_cfg: Optional[Dict[str, Any]] = None):
         self.unet_cfg = unet_cfg
         self.unet_vars = unet_vars
         self.vae_cfg = vae_cfg
@@ -133,10 +140,23 @@ class DiffusersCheckpoint:
         self.text_vars = text_vars
         self.text2_vars = text2_vars
         self.merges_path = merges_path
+        self.text_cfg = text_cfg or {}
+        self.text2_cfg = text2_cfg or {}
 
     @property
     def is_xl(self) -> bool:
         return self.unet_cfg.addition_embed_type == "text_time"
+
+    @property
+    def text_act(self) -> str:
+        # HF CLIPTextConfig's default hidden_act is quick_gelu (CLIP ViT-L,
+        # i.e. SD1.x / SDXL tower 1); SD2.x OpenCLIP configs say "gelu".
+        return self.text_cfg.get("hidden_act", "quick_gelu")
+
+    @property
+    def text2_act(self) -> str:
+        # SDXL tower 2 (OpenCLIP bigG) ships hidden_act="gelu".
+        return self.text2_cfg.get("hidden_act", "gelu")
 
 
 def load_diffusers_checkpoint(root: str, dtype=None) -> DiffusersCheckpoint:
@@ -183,4 +203,6 @@ def load_diffusers_checkpoint(root: str, dtype=None) -> DiffusersCheckpoint:
 
         TE._BPE = None  # drop a cached hash-fallback decision
     return DiffusersCheckpoint(unet_cfg, unet_vars, vae_cfg, vae_vars,
-                               text_vars, text2_vars, merges_path)
+                               text_vars, text2_vars, merges_path,
+                               text_cfg=_read_config(os.path.join(root, "text_encoder")),
+                               text2_cfg=_read_config(os.path.join(root, "text_encoder_2")))

@@ -121,6 +121,30 @@ def create_hybrid_mesh(model_parallel: int = 1,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def global_from_local(local, mesh: Mesh):
+    """This process's batch rows -> ONE global data-sharded jax.Array
+    (`jax.make_array_from_process_local_data`). Every process passes its own
+    rows; together they form the global batch laid out over the mesh's data
+    axis. The per-process row count must be identical across processes
+    (pad the local batch first — see data.dataset.ShardedView)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+    return jax.make_array_from_process_local_data(sharding, np.asarray(local))
+
+
+def local_rows(global_array) -> np.ndarray:
+    """This process's rows of a data-sharded global array, in row order.
+    Model-axis replication yields duplicate addressable shards per row
+    range — deduplicated by leading index."""
+    seen = {}
+    for s in global_array.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)], axis=0)
+
+
 def all_processes_barrier(name: str = "rgie_barrier"):
     """Block until every process reaches this point (the dist.barrier()
     analog): a tiny psum across the global device set."""

@@ -444,6 +444,72 @@ def convert_inception_v3(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
+class _TrackedStateDict:
+    """Mapping wrapper that records every key actually READ, so the diffusers
+    converters can assert full consumption (VERDICT r3 #4: a real checkpoint
+    with extra/renamed keys must fail loudly, never convert silently-wrong).
+
+    ``in`` checks do not consume; only ``[]``/``get`` hits do."""
+
+    def __init__(self, sd: Mapping[str, Any]):
+        self._sd = dict(sd)
+        self.consumed: set = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return self._sd[k]
+
+    def get(self, k, default=None):
+        if k in self._sd:
+            self.consumed.add(k)
+            return self._sd[k]
+        return default
+
+    def __contains__(self, k):
+        return k in self._sd
+
+    def __iter__(self):
+        return iter(self._sd)
+
+    def keys(self):
+        return self._sd.keys()
+
+    def items(self):
+        return self._sd.items()
+
+    def __len__(self):
+        return len(self._sd)
+
+    def unconsumed(self, ignore=()) -> list:
+        import re
+
+        left = set(self._sd) - self.consumed
+        return sorted(k for k in left
+                      if not any(re.search(pat, k) for pat in ignore))
+
+
+# Keys a real checkpoint may legitimately carry that no Flax parameter maps
+# to: HF position-id buffers (old transformers versions persist them), EMA
+# shadow copies, and BN bookkeeping counters.
+IGNORED_CHECKPOINT_KEYS = (
+    r"(^|\.)position_ids$",
+    r"num_batches_tracked$",
+    r"(^|\.)model_ema\.",
+    r"(^|\.)logit_scale$",
+)
+
+
+def _check_consumed(sd: "_TrackedStateDict", what: str,
+                    ignore=IGNORED_CHECKPOINT_KEYS) -> None:
+    left = sd.unconsumed(ignore)
+    if left:
+        shown = ", ".join(left[:12]) + (" ..." if len(left) > 12 else "")
+        raise ValueError(
+            f"{what} conversion left {len(left)} state-dict key(s) "
+            f"unconsumed — checkpoint layout does not match the target "
+            f"config (refusing to convert silently-wrong): {shown}")
+
+
 def _conv_entry(sd, prefix) -> Dict[str, Any]:
     out = {"kernel": conv_kernel(sd[f"{prefix}.weight"])}
     if f"{prefix}.bias" in sd:
@@ -514,7 +580,8 @@ def _diffusers_transformer2d(sd, prefix, depth: int) -> Dict[str, Any]:
     return p
 
 
-def convert_unet_diffusers(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]:
+def convert_unet_diffusers(state_dict: Mapping[str, Any], cfg,
+                           strict: bool = True) -> Dict[str, Any]:
     """diffusers UNet2DConditionModel state_dict -> UNet2DCondition params.
 
     ``cfg`` is the matching `rgie_tpu.diffusion.unet.UNetConfig`
@@ -522,8 +589,9 @@ def convert_unet_diffusers(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]
     tiny configs drive the parity tests). Covers both block inventories —
     the converter walks cfg.down_block_types/up_block_types exactly like the
     Flax module, so any diffusers-shaped checkpoint with linear transformer
-    projections converts."""
-    sd = dict(state_dict)
+    projections converts. With ``strict`` (default), every source key must be
+    consumed (modulo IGNORED_CHECKPOINT_KEYS) or conversion raises."""
+    sd = _TrackedStateDict(state_dict)
     p: Dict[str, Any] = {
         "conv_in": _conv_entry(sd, "conv_in"),
         "time_embed_0": _lin_entry(sd, "time_embedding.linear_1"),
@@ -564,6 +632,8 @@ def convert_unet_diffusers(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]
         if bi < n_blocks - 1:
             p[f"up_{bi}_upsample"] = {
                 "conv": _conv_entry(sd, f"up_blocks.{bi}.upsamplers.0.conv")}
+    if strict:
+        _check_consumed(sd, "UNet2DConditionModel")
     return {"params": p}
 
 
@@ -587,12 +657,15 @@ def _vae_mid_attention(sd, prefix) -> Dict[str, Any]:
     return p
 
 
-def convert_vae_diffusers(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]:
+def convert_vae_diffusers(state_dict: Mapping[str, Any], cfg,
+                          strict: bool = True) -> Dict[str, Any]:
     """diffusers AutoencoderKL state_dict -> our AutoencoderKL params.
 
     ``cfg`` is the matching `rgie_tpu.diffusion.vae.VaeConfig`. The top-level
-    quant_conv/post_quant_conv fold into our Encoder/Decoder submodules."""
-    sd = dict(state_dict)
+    quant_conv/post_quant_conv fold into our Encoder/Decoder submodules.
+    With ``strict`` (default) every source key must be consumed or
+    conversion raises (VERDICT r3 #4)."""
+    sd = _TrackedStateDict(state_dict)
     enc: Dict[str, Any] = {
         "conv_in": _conv_entry(sd, "encoder.conv_in"),
         "norm_out": _gn32_entry(sd, "encoder.conv_norm_out"),
@@ -627,20 +700,24 @@ def convert_vae_diffusers(state_dict: Mapping[str, Any], cfg) -> Dict[str, Any]:
         if bi < n_blocks - 1:
             dec[f"up_{bi}_upsample"] = _conv_entry(
                 sd, f"decoder.up_blocks.{bi}.upsamplers.0.conv")
+    if strict:
+        _check_consumed(sd, "AutoencoderKL")
     return {"params": {"encoder": enc, "decoder": dec}}
 
 
 def convert_clip_text_hf(state_dict: Mapping[str, Any],
-                         heads: int = 0) -> Dict[str, Any]:
+                         heads: int = 0, strict: bool = True) -> Dict[str, Any]:
     """HF transformers CLIPTextModel(WithProjection) state_dict ->
     `rgie_tpu.diffusion.text_encoder.TextEncoderHidden` params.
 
     Layer count and width are inferred from the keys; ``heads`` defaults to
     width // 64 (every SD-family tower uses 64-dim heads). A
     ``text_projection.weight`` (CLIPTextModelWithProjection — SDXL
-    text_encoder_2) converts when present."""
-    sd = {k[len("text_model."):] if k.startswith("text_model.") else k: v
-          for k, v in state_dict.items()}
+    text_encoder_2) converts when present. With ``strict`` (default) every
+    source key must be consumed or conversion raises (VERDICT r3 #4)."""
+    sd = _TrackedStateDict(
+        {k[len("text_model."):] if k.startswith("text_model.") else k: v
+         for k, v in state_dict.items()})
     width = _np(sd["embeddings.token_embedding.weight"]).shape[1]
     heads = heads or max(width // 64, 1)
     head_dim = width // heads
@@ -678,6 +755,8 @@ def convert_clip_text_hf(state_dict: Mapping[str, Any],
         }
     if "text_projection.weight" in sd:
         p["text_projection"] = dense_kernel(sd["text_projection.weight"])
+    if strict:
+        _check_consumed(sd, "CLIPTextModel")
     return {"params": p}
 
 

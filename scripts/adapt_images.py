@@ -187,13 +187,24 @@ def main():
         from rgie_tpu.diffusion.text_encoder import create_sdxl_prompt_encoder
 
         if ckpt is not None and ckpt.text_vars is not None:
+            # Both towers must be present (load.py returns None for missing
+            # ones — an SDXL dir with only text_encoder/ would otherwise
+            # crash with an unhelpful TypeError; ADVICE r3).
+            if ckpt.text2_vars is None:
+                raise ValueError(
+                    f"SDXL checkpoint {args.diffusers_dir} has text_encoder/ "
+                    "but no text_encoder_2/ weights — both towers are "
+                    "required for SDXL prompt encoding")
             from rgie_tpu.diffusion.text_encoder import (
                 PromptEncoder, TextEncoderHidden, tower_config_from_params)
 
+            # hidden_act comes from each tower's config.json (ADVICE r3):
+            # tower 1 is CLIP ViT-L (quick_gelu), tower 2 OpenCLIP bigG (gelu)
+            # for stock SDXL, but derived rather than hardcoded.
             c1 = tower_config_from_params(ckpt.text_vars["params"],
-                                          skip_last=1, act="quick_gelu")
+                                          skip_last=1, act=ckpt.text_act)
             c2 = tower_config_from_params(ckpt.text2_vars["params"],
-                                          skip_last=1, act="gelu")
+                                          skip_last=1, act=ckpt.text2_act)
             prompt_enc = PromptEncoder(
                 tower1=TextEncoderHidden(**c1), variables1=ckpt.text_vars,
                 tower2=TextEncoderHidden(**c2), variables2=ckpt.text2_vars)
@@ -216,8 +227,11 @@ def main():
             from rgie_tpu.diffusion.text_encoder import (
                 PromptEncoder, TextEncoderHidden, tower_config_from_params)
 
+            # act from text_encoder/config.json (ADVICE r3): SD2.x/sd-turbo
+            # OpenCLIP towers use gelu, SD1.x CLIP ViT-L uses quick_gelu —
+            # hardcoding either silently corrupts the other family's prompts.
             c1 = tower_config_from_params(ckpt.text_vars["params"],
-                                          skip_last=0, act="gelu")
+                                          skip_last=0, act=ckpt.text_act)
             prompt_enc = PromptEncoder(tower1=TextEncoderHidden(**c1),
                                        variables1=ckpt.text_vars)
         else:

@@ -33,6 +33,9 @@ def main():
                     help="torch pixel-discriminator checkpoint (imagenet_w0_high_lookhere_dis)")
     ap.add_argument("--input-size", type=int, default=480)
     ap.add_argument("--crop-size", type=int, default=480)
+    ap.add_argument("--va-input-size", type=int, default=480,
+                    help="VA regressor resize (reference ten-crop 480/448)")
+    ap.add_argument("--va-crop-size", type=int, default=448)
     ap.add_argument("--output-size", type=int, default=1024,
                     help="full-resolution re-render size (reference output_transform, "
                          "optimize_image_param.py:77-81,295-312); 0 disables")
@@ -53,15 +56,26 @@ def main():
     import numpy as np
 
     from rgie_tpu.config import DATA_DIR, OUT_DIR, MODELS_DIR, OptimizeConfig, ParamEditConfig
-    from rgie_tpu.data import CaptionFeedDataset, iterate_batches
+    from rgie_tpu.data import CaptionFeedDataset, ShardedView, iterate_batches
     from rgie_tpu.engine import parametric as P
     from rgie_tpu.engine.optimize import optimize_gradient_free
     from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
     from rgie_tpu.models.clip import create_clip_image_encoder
     from rgie_tpu.models.emotion import EmotionRegressor, create_regressor
     from rgie_tpu.ops import chain as CH
-    from rgie_tpu.parallel import create_mesh, shard_batch, pad_to_multiple
+    from rgie_tpu.parallel import (create_hybrid_mesh, create_mesh,
+                                   global_from_local, init_distributed,
+                                   local_rows, pad_to_multiple, process_info,
+                                   replicate, shard_batch)
     from rgie_tpu.utils import stats as S
+
+    # Multi-host bootstrap (SURVEY §2.3: data-parallel-over-DCN; the analog
+    # of the reference's dormant imaginaire init_dist). No-op single-process,
+    # so it runs unconditionally BEFORE any device use; with RGIE_COORDINATOR
+    # / RGIE_NUM_PROCESSES / RGIE_PROCESS_ID (or pod auto-detect) the edit
+    # below runs one lockstep SPMD program over all hosts.
+    init_distributed()
+    pid, nproc = process_info()
 
     data_dir = args.data_dir or str(DATA_DIR)
     out_dir = args.out_dir or str(OUT_DIR / f"optimized_param_{args.weight_clf:<1.2f}")
@@ -73,7 +87,9 @@ def main():
     from rgie_tpu.models.loader import load_va_loss
 
     va_path = args.va_model or str(MODELS_DIR / "va_pred_all")
-    va_loss = load_va_loss(va_path, k1, is_input_range_0_1=True)
+    va_loss = load_va_loss(va_path, k1, is_input_range_0_1=True,
+                           input_size=args.va_input_size,
+                           crop_size=args.va_crop_size)
     clip_enc = create_clip_image_encoder(k2) if args.weight_recon > 0 else None
 
     # Optional pixel-discriminator realism term (reference wires it via
@@ -104,11 +120,20 @@ def main():
         input_size=args.input_size, crop_size=args.crop_size,
         output_size=args.output_size, remat=args.remat)
 
-    mesh = create_mesh()
+    mesh = create_hybrid_mesh() if nproc > 1 else create_mesh()
     n_chips = mesh.devices.size
-    batch = args.batch or n_chips
+    batch = args.batch or n_chips  # GLOBAL batch (all hosts together)
+    if batch % nproc:
+        raise SystemExit(f"--batch {batch} must divide over {nproc} processes")
+    local_batch = batch // nproc
     edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg, dis_model))
     models = P.models_of(va_loss, clip_enc, dis_vars)
+    if nproc > 1 and not args.gradient_free:
+        # SPMD path: weights become one globally-replicated tree (every host
+        # passes identical values). The gradient-free path stays host-local —
+        # its data-dependent Nelder-Mead iteration counts must not enter
+        # lockstep global programs.
+        models = replicate(models, mesh)
 
     # Full-resolution output re-render (reference output_transform,
     # optimize_image_param.py:295-312: re-apply the optimized vector to the
@@ -133,6 +158,12 @@ def main():
             adaptations.append((parts[0], (float(parts[1]), float(parts[2]))))
 
     dataset = CaptionFeedDataset(data_dir)
+    limit = args.limit
+    if nproc > 1:
+        # Per-process feeding: rank p edits items p, p+n, ... and each host
+        # contributes its rows to the global batch (global_from_local below).
+        dataset = ShardedView(dataset, pid, nproc)
+        limit = -(-args.limit // nproc) if args.limit else args.limit
     stats = {}
     from PIL import Image
 
@@ -159,29 +190,53 @@ def main():
                                    input_size=cfg.crop_size, order=cfg.transforms)
             return edited, jnp.asarray(x_opt)
 
-    for images_np, metas in iterate_batches(dataset, batch, args.input_size,
-                                            args.crop_size, limit=args.limit):
-        images_np, n_real = pad_to_multiple(images_np, batch)
-        images = shard_batch(jnp.asarray(images_np), mesh)
+    # Host readback: in multi-host runs each process extracts ITS rows of the
+    # data-sharded global outputs (the rows it fed in); single-process is a
+    # plain transfer.
+    to_host = local_rows if nproc > 1 else np.asarray
+
+    for images_np, metas in iterate_batches(dataset, local_batch,
+                                            args.input_size, args.crop_size,
+                                            limit=limit):
+        images_np, n_real = pad_to_multiple(images_np, local_batch)
+        if nproc > 1:
+            images = global_from_local(images_np, mesh)
+        else:
+            images = shard_batch(jnp.asarray(images_np), mesh)
         for name, alpha in adaptations:
             S.check_init_stats_adapt(stats, name)
-            alphas = jnp.broadcast_to(jnp.asarray(alpha), (images.shape[0], 2))
             t0 = time.time()
             if gradient_free_edit is not None:
+                # Host-driven simplex: runs on this process's local rows only
+                # (no cross-host collectives in the Nelder-Mead loop).
+                images_l = jnp.asarray(images_np)
                 parts, xs = [], []
                 for b in range(n_real):
-                    e, x = gradient_free_edit(images[b:b + 1], jnp.asarray(alpha))
+                    e, x = gradient_free_edit(images_l[b:b + 1], jnp.asarray(alpha))
                     parts.append(e)
                     xs.append(x)
-                if n_real < images.shape[0]:
-                    parts.append(images[n_real:])
+                if n_real < images_l.shape[0]:
+                    parts.append(images_l[n_real:])
                 edited = jnp.concatenate(parts)
-                best_xs = jnp.stack(xs)
+                dt = time.time() - t0
+                metrics = {k: np.asarray(v) for k, v in
+                           evaluate(models, images_l, edited).items()}
+                edited_h = np.asarray(edited)
+                best_xs_h = np.asarray(jnp.stack(xs))
             else:
+                if nproc > 1:
+                    alphas = global_from_local(
+                        np.broadcast_to(np.asarray(alpha, np.float32),
+                                        (images_np.shape[0], 2)), mesh)
+                else:
+                    alphas = jnp.broadcast_to(jnp.asarray(alpha),
+                                              (images.shape[0], 2))
                 result, edited = jax.block_until_ready(edit(models, images, alphas))
-                best_xs = result.best_x
-            dt = time.time() - t0
-            metrics = evaluate(models, images, edited)
+                dt = time.time() - t0
+                metrics = {k: to_host(v) for k, v in
+                           evaluate(models, images, edited).items()}
+                edited_h = to_host(edited)
+                best_xs_h = to_host(result.best_x)
             for b, meta in enumerate(metas[:n_real]):
                 va0 = np.asarray(metrics["va_original"][b])
                 va1 = np.asarray(metrics["va_adapted"][b])
@@ -194,15 +249,17 @@ def main():
 
                     full = jnp.asarray(preprocess_image(
                         load_image_rgb(meta[1]), args.output_size, args.output_size))
-                    img_arr = np.asarray(rerender(full, best_xs[b])[0])
+                    img_arr = np.asarray(rerender(full, best_xs_h[b])[0])
                 else:
-                    img_arr = np.asarray(edited[b])
+                    img_arr = np.asarray(edited_h[b])
                 img_out = np.clip(img_arr * 255, 0, 255).astype(np.uint8)
                 base = meta[0].replace(".jpg", "")
                 Image.fromarray(img_out).save(os.path.join(out_dir, f"{base}_{name}.jpg"))
             print(f"[{name}] batch of {n_real} edited in {dt:.2f}s "
                   f"({n_real / dt:.3f} img/s)")
 
+    if nproc > 1:
+        print(f"[process {pid}/{nproc}] per-process stats follow")
     print(f"weight_clf: {args.weight_clf}; weight_dis: {args.weight_dis}; "
           f"weight_recon: {args.weight_recon}")
     S.print_stats(stats)

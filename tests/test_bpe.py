@@ -82,3 +82,63 @@ def test_tokenize_uses_real_bpe_when_vocab_present(tmp_path, monkeypatch):
         assert toks[0, 4:].tolist() == [0, 0, 0, 0]
     finally:
         TE._BPE = None  # do not leak the synthetic vocab to other tests
+
+
+def test_unicode_word_split_matches_clip_pattern():
+    """The fallback scanner must agree with CLIP's actual \\p{L}/\\p{N}
+    pattern (compiled here via the `regex` module) on accented, CJK,
+    contraction, punctuation-run, and special-token inputs."""
+    import regex
+
+    pat = regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+        r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""", regex.IGNORECASE)
+    from rgie_tpu.diffusion.bpe import _word_split_scan, word_split
+
+    cases = [
+        "a café on the rivière",            # accented latin (\p{L})
+        "über-größe straße",                 # eszett + umlauts + hyphen
+        "日本語のキャプション写真",               # CJK: one letter run
+        "五 photos of 3 dogs",               # \p{N} is SINGLE chars; 五 is L
+        "don't we'll they're it's i'm you've he'd",
+        "!!!'s weird 'quote' runs...",       # apostrophe inside punct run
+        "mixed123numbers and ½ fractions",   # No-category number
+        "<|startoftext|>a<|endoftext|>",
+        "!!<|endoftext|>trailing",           # greedy run engulfs the special
+        "हिन्दी में कैप्शन",                     # combining marks are NOT \p{L}
+        "emoji 😀🚀 split",
+        "ﬁligree ﬂow",                        # ligatures are \p{L}
+    ]
+    for text in cases:
+        text = text.lower()
+        assert word_split(text) == pat.findall(text), text
+        assert _word_split_scan(text) == pat.findall(text), text
+
+
+def test_nonascii_tokens_through_merges(tmp_path):
+    """Accented words tokenize through real merges on their utf-8 byte
+    symbols: 'café' = c a f + 2-byte é, with the merge applying to the
+    byte-level symbols exactly like OpenAI's tokenizer."""
+    b2u = bytes_to_unicode()
+    e1, e2 = (b2u[b] for b in "é".encode("utf-8"))
+    merges = [f"c a", f"{e1} {e2}"]
+    p = tmp_path / "merges.txt"
+    p.write_text("#version: 0.2\n" + "\n".join(merges) + "\n", encoding="utf-8")
+    bpe = SimpleBPE(str(p))
+    ids = bpe("café")
+    # word -> (c,a,f,é1,é2</w>): merge (c,a) applies; (é1,é2) does NOT match
+    # (é1,é2</w>). So symbols: 'ca', 'f', é1, é2</w>.
+    assert ids == [512 + 0, _byte_id("f"), _byte_id(e1), 256 + _byte_id(e2)]
+    # NFD input (e + combining acute) must NFC-normalize to the same ids.
+    import unicodedata
+    assert bpe(unicodedata.normalize("NFD", "café")) == ids
+
+
+def test_fix_text_lite_clean(tmp_path):
+    """Curly quotes uncurl (ftfy semantics) so contractions tokenize as
+    contractions; full-width forms fold to ASCII; html entities unescape."""
+    bpe = SimpleBPE(_write_merges(tmp_path))
+    assert bpe("don’t") == bpe("don't")
+    assert bpe("ｈｅｌｌｏ") == bpe("hello")
+    assert bpe("hello &amp; hello") == bpe("hello & hello")
+    assert bpe("hello\x00\x07hello") == bpe("hellohello")

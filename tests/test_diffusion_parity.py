@@ -166,7 +166,8 @@ def test_load_diffusers_checkpoint_dir(tmp_path):
                 "block_out_channels": list(vcfg.block_out_channels),
                 "layers_per_block": 1, "norm_num_groups": 4,
                 "scaling_factor": vcfg.scaling_factor}),
-            ("text_encoder", text_t, None)):
+            ("text_encoder", text_t, {
+                "hidden_act": "gelu", "num_hidden_layers": 2})):
         d = root / sub
         d.mkdir(parents=True)
         name = ("model.safetensors" if sub == "text_encoder"
@@ -180,6 +181,10 @@ def test_load_diffusers_checkpoint_dir(tmp_path):
     assert not ckpt.is_xl
     assert ckpt.unet_cfg.block_out_channels == ucfg.block_out_channels
     assert ckpt.text2_vars is None
+    # hidden_act rides along from text_encoder/config.json (ADVICE r3);
+    # the tower-2 default (no config present) is OpenCLIP's gelu.
+    assert ckpt.text_act == "gelu"
+    assert ckpt.text2_act == "gelu"
 
     rng = np.random.default_rng(4)
     sample = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
@@ -210,3 +215,39 @@ def test_clip_text_hf_projection_parity():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(pooled_j), out.text_embeds.numpy(),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_converters_refuse_unconsumed_keys():
+    """VERDICT r3 #4: a real checkpoint whose layout does not match the
+    target config (extra/renamed keys) must fail LOUDLY at conversion, not
+    produce silently-wrong weights. strict=False keeps a documented escape
+    hatch for exploratory loads."""
+    cfg = UNetConfig.tiny()
+    torch.manual_seed(7)
+    twin = TwinUNet(cfg).eval()
+    sd = _state_dict_np(twin)
+    sd["down_blocks.0.resnets.0.spatial_mixer.weight"] = np.zeros((4, 4), np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_unet_diffusers(sd, cfg)
+    convert_unet_diffusers(sd, cfg, strict=False)  # escape hatch still works
+
+    vcfg = VaeConfig.tiny()
+    torch.manual_seed(8)
+    vtwin = TwinVAE(vcfg).eval()
+    vsd = _state_dict_np(vtwin)
+    vsd["encoder.bonus_head.weight"] = np.zeros((2,), np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_vae_diffusers(vsd, vcfg)
+
+    ttwin = make_hf_text_twin(width=32, layers=2, heads=2, vocab=100,
+                              hidden_act="gelu")
+    tsd = _state_dict_np(ttwin)
+    tsd["text_model.encoder.layers.0.self_attn.rotary_emb.weight"] = (
+        np.zeros((2,), np.float32))
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_clip_text_hf(tsd, heads=2)
+    # ...but documented benign extras (old-transformers position_ids buffer)
+    # stay on the ignore-list and convert cleanly.
+    tsd2 = _state_dict_np(ttwin)
+    tsd2["text_model.embeddings.position_ids"] = np.arange(10, dtype=np.int64)[None]
+    convert_clip_text_hf(tsd2, heads=2)

@@ -62,12 +62,41 @@ _SCRIPT = textwrap.dedent("""
 """)
 
 
+# Fast pre-check (VERDICT r3 weak #4): when the tunnel is down, axon backend
+# INIT hangs ~25 min before failing UNAVAILABLE, which used to stall the whole
+# suite for the full 1500 s timeout. Probe with a cheap short-timeout
+# subprocess that only initializes the backend; skip fast on hang/failure.
+_PROBE = ("import jax; print('BACKEND:' + jax.default_backend())")
+PROBE_TIMEOUT_S = int(os.environ.get("RGIE_TPU_PROBE_TIMEOUT", "180"))
+
+
+def _tpu_reachable(env) -> bool:
+    proc = subprocess.Popen([sys.executable, "-c", _PROBE], env=env,
+                            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                            text=True)
+    try:
+        out, _ = proc.communicate(timeout=PROBE_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        return False
+    return "BACKEND:" in out and "BACKEND:cpu" not in out
+
+
 @pytest.mark.slow
 def test_flash_attention_tpu_parity(tmp_path):
+    if os.environ.get("RGIE_NO_TPU"):
+        pytest.skip("RGIE_NO_TPU set — TPU tests disabled")
     script = tmp_path / "flash_check.py"
     script.write_text(_SCRIPT.format(repo=REPO))
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # let the host default (axon,cpu) pick TPU
+    if not _tpu_reachable(env):
+        pytest.skip(f"TPU backend did not come up within {PROBE_TIMEOUT_S}s "
+                    "(tunnel down or busy)")
     try:
         out = subprocess.run([sys.executable, str(script)], env=env,
                              capture_output=True, text=True, timeout=1500)
