@@ -185,6 +185,21 @@ def dpm_step(sched: DiffusionSchedule, eps: jnp.ndarray, timestep: jnp.ndarray,
 # the HOST (numpy) at schedule-construction time, so the dedup'd length is
 # static for `lax.scan`; stepping works in sigma space (the rounded integer
 # timesteps only feed the UNet).
+#
+# KNOWN convention divergences vs diffusers' DPMSolverMultistepScheduler
+# (ADVICE r3; diffusers is not installed here, so these are documented
+# rather than silently different — outputs are NOT bit-comparable to a
+# diffusers run even with identical weights):
+#  1. The karras table interpolates the FULL training sigma range
+#     (train_sig[0]..train_sig[-1], so timesteps[0]=999); diffusers versions
+#     that pre-interpolate to the leading-spaced inference sigmas build
+#     karras between those endpoints (e.g. sigma(980) at 50 steps).
+#  2. The inverse table ends at the dedup'd karras maximum; diffusers'
+#     inverse scheduler appends the training sigma_max as the final entry.
+#  3. The prepended identity step (h=0) SEEDS the 2M history, so the first
+#     real inverse step is second-order; diffusers' first step is
+#     first-order. (Starting the table at sigma=0 instead is numerically
+#     catastrophic — see the inline comment below.)
 # ---------------------------------------------------------------------------
 
 

@@ -13,9 +13,12 @@ import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 # Angles of the 8 basic emotions (CompoundEmotionVector.py:6).
-EMOTION_ANGLES = jnp.asarray([11.0, 7.0, 9.0, 5.0, 13.0, 15.0, 3.0, 1.0]) * 0.125 * math.pi
+# numpy, not jnp: module-level device arrays would initialize the XLA
+# backend at import, breaking jax.distributed.initialize in multi-host CLIs.
+EMOTION_ANGLES = np.asarray([11.0, 7.0, 9.0, 5.0, 13.0, 15.0, 3.0, 1.0]) * 0.125 * math.pi
 
 
 class CompoundEmotion(NamedTuple):

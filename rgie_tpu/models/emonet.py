@@ -14,12 +14,15 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rgie_tpu.models.resnet import resnet50
 from rgie_tpu.ops import geometry as G
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+# numpy, not jnp: module-level device arrays would initialize the XLA
+# backend at import, breaking jax.distributed.initialize in multi-host CLIs.
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 def classic_ten_crop(images: jnp.ndarray, crop: int = 224) -> jnp.ndarray:

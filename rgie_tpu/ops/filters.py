@@ -184,7 +184,10 @@ def apply_gaussian_blur(image: jnp.ndarray, p, kernel_size: int = 25) -> jnp.nda
     return jnp.clip(out, 0.0, 1.0)
 
 
-_SHARP_KERNEL = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+# numpy (NOT jnp): a module-level device array would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize in the
+# multi-host CLIs (it must run before any backend init).
+_SHARP_KERNEL = np.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
 
 
 def _sep_corr2d(image: jnp.ndarray, gv: jnp.ndarray, gh: jnp.ndarray) -> jnp.ndarray:

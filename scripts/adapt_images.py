@@ -85,6 +85,13 @@ def main():
     from rgie_tpu.diffusion.unet import UNetConfig, create_unet
     from rgie_tpu.diffusion.vae import VaeConfig, create_vae
     from rgie_tpu.models.midu import MiduSD, MiduSDXL
+    from rgie_tpu.parallel import init_distributed, process_info
+
+    # Multi-host bootstrap (no-op single-process; RGIE_COORDINATOR /
+    # RGIE_NUM_PROCESSES / RGIE_PROCESS_ID or pod auto-detect) — must run
+    # before any device use.
+    init_distributed()
+    pid, nproc = process_info()
 
     key = jax.random.PRNGKey(args.seed)
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -257,6 +264,12 @@ def main():
 
     dataset = CaptionFeedDataset(args.data_dir or str(DATA_DIR))
     n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
+    if nproc > 1:
+        # Rank-interleaved shard: process p edits items p, p+nproc, ...
+        from rgie_tpu.data.dataset import ShardedView
+
+        dataset = ShardedView(dataset, pid, nproc)
+        n = -(-n // nproc)
 
     if args.batch <= 1:
         for i in range(n):
@@ -273,10 +286,12 @@ def main():
     import numpy as np
 
     from rgie_tpu.adapt.adapter import transform_image
-    from rgie_tpu.data.dataset import load_image_rgb
+    from rgie_tpu.data.dataset import ShardedView, load_image_rgb
     from rgie_tpu.diffusion.batched import (BatchedConds, make_batched_edit,
                                             stack_conds)
-    from rgie_tpu.parallel import batch_sharding, create_mesh, replicate
+    from rgie_tpu.parallel import (batch_sharding, create_hybrid_mesh,
+                                   create_mesh, global_from_local, local_rows,
+                                   replicate)
     from rgie_tpu.utils.stats import print_score
 
     # Data axis = gcd(batch, devices): batch 2 on an 8-chip host (or batch 6
@@ -284,11 +299,23 @@ def main():
     # batch-divisibility requirement of NamedSharding.
     import math as _math
 
-    n_dev = len(jax.devices())
-    n_data = _math.gcd(args.batch, n_dev) or 1
-    mesh = create_mesh((n_data, 1), devices=jax.devices()[:n_data])
+    if nproc > 1:
+        # Multi-host: one lockstep SPMD program over the DCN-aware hybrid
+        # mesh; each process feeds its own rows (rank-interleaved dataset).
+        n_dev = len(jax.devices())
+        if args.batch % nproc or args.batch % n_dev:
+            raise SystemExit(f"--batch {args.batch} must divide over "
+                             f"{nproc} processes and {n_dev} global devices")
+        local_batch = args.batch // nproc
+        mesh = create_hybrid_mesh()
+    else:
+        local_batch = args.batch
+        n_dev = len(jax.devices())
+        n_data = _math.gcd(args.batch, n_dev) or 1
+        mesh = create_mesh((n_data, 1), devices=jax.devices()[:n_data])
     sharding = batch_sharding(mesh)
     params = replicate(params, mesh)
+    to_host = local_rows if nproc > 1 else np.asarray
     label = gcfg.resolved_label()
     out_sub = os.path.join(out_dir, label)
     os.makedirs(out_sub, exist_ok=True)
@@ -314,8 +341,8 @@ def main():
 
     from PIL import Image
 
-    for start in range(0, n, args.batch):
-        idxs = list(range(start, min(start + args.batch, n)))
+    for start in range(0, n, local_batch):
+        idxs = list(range(start, min(start + local_batch, n)))
         metas, images_l, conds_l = [], [], []
         for i in idxs:
             _, (name, path, captions) = dataset[i]
@@ -335,29 +362,39 @@ def main():
                 cfg_embeds=cfg_embeds_fn(prompt, gcfg.negative_prompt),
                 cond_embeds=embeds_fn(caption, ""),
                 added_cfg=ac, added_cond=acond, added_uncond=auncond))
-        # pad the tail batch to the compiled batch size
+        # pad the tail batch to the compiled (local) batch size
         n_real = len(idxs)
-        while len(images_l) < args.batch:
+        while len(images_l) < local_batch:
             images_l.append(images_l[-1])
             conds_l.append(conds_l[-1])
-        images = jax.device_put(jnp.stack(images_l), sharding)
-        conds = jax.tree.map(lambda x: jax.device_put(x, sharding),
-                             stack_conds(conds_l))
-        alphas = jnp.full((args.batch, 2), gcfg.reference_value or 0.0)
-        alphas = jax.device_put(alphas, sharding)
+        images_np = np.stack([np.asarray(x) for x in images_l])
+        if nproc > 1:
+            images = global_from_local(images_np, mesh)
+            conds = jax.tree.map(lambda x: global_from_local(np.asarray(x), mesh),
+                                 stack_conds(conds_l))
+            alphas = global_from_local(
+                np.full((local_batch, 2), gcfg.reference_value or 0.0,
+                        np.float32), mesh)
+        else:
+            images = jax.device_put(jnp.stack(images_l), sharding)
+            conds = jax.tree.map(lambda x: jax.device_put(x, sharding),
+                                 stack_conds(conds_l))
+            alphas = jax.device_put(
+                jnp.full((args.batch, 2), gcfg.reference_value or 0.0), sharding)
 
         t0 = time.time()
         out = jax.block_until_ready(program(params, images, empty, conds, alphas,
                                             added_empty))
         dt = time.time() - t0
+        out_h = jax.tree.map(to_host, out)
         for b, (name, path) in enumerate(metas[:n_real]):
             print(f"[ {idxs[b] + 1} / {n} ]: {name}\n")
-            orig = np.asarray(out.orig_score[b:b + 1])
+            orig = np.asarray(out_h.orig_score[b:b + 1])
             print_score(orig, "original")
-            print_score(np.asarray(out.adapted_score[b:b + 1]), "adapted", orig)
-            rec = float(jnp.mean(jnp.abs(out.edited[b] - images[b])))
+            print_score(np.asarray(out_h.adapted_score[b:b + 1]), "adapted", orig)
+            rec = float(np.mean(np.abs(out_h.edited[b] - images_np[b])))
             print("Reconstruction error: {:.4f}".format(rec))
-            arr = np.clip(np.asarray(out.edited[b]) * 255, 0, 255).astype(np.uint8)
+            arr = np.clip(np.asarray(out_h.edited[b]) * 255, 0, 255).astype(np.uint8)
             base = name.replace(".jpg", "")
             Image.fromarray(arr).save(os.path.join(out_sub, f"{base}.jpg"))
         print(f"[{label}] batch of {n_real} edited in {dt:.2f}s "

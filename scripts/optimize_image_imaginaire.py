@@ -53,8 +53,15 @@ def main():
     from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
     from rgie_tpu.models.emotion import EmotionRegressor, create_regressor
     from rgie_tpu.models.munit import MunitGenerator, create_generator
-    from rgie_tpu.parallel import create_mesh, pad_to_multiple, shard_batch
+    from rgie_tpu.parallel import (create_hybrid_mesh, create_mesh,
+                                   global_from_local, init_distributed,
+                                   local_rows, pad_to_multiple, process_info,
+                                   replicate, shard_batch)
     from rgie_tpu.utils import stats as S
+
+    # Multi-host bootstrap — no-op single-process, must precede device use.
+    init_distributed()
+    pid, nproc = process_info()
 
     data_dir = args.data_dir or str(DATA_DIR)
     out_dir = args.out_dir or str(OUT_DIR / "imaginaire" / f"weight_{args.weight_clf:<1.2f}")
@@ -109,10 +116,15 @@ def main():
         input_size=args.input_size, crop_size=args.input_size,
         remat=args.remat)
 
-    mesh = create_mesh()
-    batch = args.batch or mesh.devices.size
+    mesh = create_hybrid_mesh() if nproc > 1 else create_mesh()
+    batch = args.batch or mesh.devices.size  # GLOBAL batch
+    if batch % nproc:
+        raise SystemExit(f"--batch {batch} must divide over {nproc} processes")
+    local_batch = batch // nproc
     edit = jax.jit(GE.make_batched_edit(gen, va_loss, cfg, dis_model))
     models = GE.models_of(gen, va_loss, dis_vars)
+    if nproc > 1:
+        models = replicate(models, mesh)
     evaluate = jax.jit(jax.vmap(
         lambda m, i, e: P.make_evaluate(va_loss)(m, i[None], e[None]),
         in_axes=(None, 0, 0)))
@@ -123,27 +135,44 @@ def main():
         a = (float(parts[1]), float(parts[1])) if len(parts) == 2 else (float(parts[1]), float(parts[2]))
         adaptations.append((parts[0], a))
     dataset = CaptionFeedDataset(data_dir)
-    stats = {}
+    limit = args.limit
+    if nproc > 1:
+        from rgie_tpu.data.dataset import ShardedView
 
-    for images_np, metas in iterate_batches(dataset, batch, args.input_size,
-                                            args.input_size, normalize=True,
-                                            limit=args.limit):
-        images_np, n_real = pad_to_multiple(images_np, batch)
-        images = shard_batch(jnp.asarray(images_np), mesh)
+        dataset = ShardedView(dataset, pid, nproc)
+        limit = -(-args.limit // nproc) if args.limit else args.limit
+    stats = {}
+    to_host = local_rows if nproc > 1 else np.asarray
+
+    for images_np, metas in iterate_batches(dataset, local_batch,
+                                            args.input_size, args.input_size,
+                                            normalize=True, limit=limit):
+        images_np, n_real = pad_to_multiple(images_np, local_batch)
+        if nproc > 1:
+            images = global_from_local(images_np, mesh)
+        else:
+            images = shard_batch(jnp.asarray(images_np), mesh)
         for name, alpha in adaptations:
             S.check_init_stats_adapt(stats, name)
-            alphas = jnp.broadcast_to(jnp.asarray(alpha), (images.shape[0], 2))
+            if nproc > 1:
+                alphas = global_from_local(
+                    np.broadcast_to(np.asarray(alpha, np.float32),
+                                    (images_np.shape[0], 2)), mesh)
+            else:
+                alphas = jnp.broadcast_to(jnp.asarray(alpha), (images.shape[0], 2))
             t0 = time.time()
             result, edited = jax.block_until_ready(edit(models, images, alphas))
             dt = time.time() - t0
             # make_evaluate only reads .regressor, shared by both models tuples
-            metrics = evaluate(models, images, edited)
+            metrics = {k: to_host(v) for k, v in
+                       evaluate(models, images, edited).items()}
+            edited_h = to_host(edited)
             for b, meta in enumerate(metas[:n_real]):
                 va0 = np.asarray(metrics["va_original"][b])
                 va1 = np.asarray(metrics["va_adapted"][b])
                 S.print_score(va1, f"{meta[0]} {name}", va0)
                 S.record_edit(stats[name], va0, va1, float(metrics["rec_error"][b]))
-                out01 = np.asarray(GE.to_unit_range(edited[b]))
+                out01 = np.asarray(GE.to_unit_range(jnp.asarray(edited_h[b])))
                 base = os.path.basename(meta[0]).replace(".jpg", "")
                 Image.fromarray(np.clip(out01 * 255, 0, 255).astype(np.uint8)).save(
                     os.path.join(out_dir, f"{base}_{name}.jpg"))

@@ -59,15 +59,25 @@ def main():
     from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
     from rgie_tpu.models.emotion import create_regressor
     from rgie_tpu.models.midu import MiduSD, MiduSDXL
-    from rgie_tpu.parallel import create_mesh, shard_batch
+    from rgie_tpu.parallel import (create_hybrid_mesh, create_mesh,
+                                   global_from_local, init_distributed,
+                                   is_main_process, process_info, shard_batch)
     from rgie_tpu.training.train_midu import (create_train_state, get_noisy_latents,
                                               make_eval_step, make_train_step,
                                               shard_train_step)
     from rgie_tpu.utils.checkpoint import BestCheckpointer
 
+    # Multi-host bootstrap — no-op single-process, must precede device use.
+    init_distributed()
+    pid, nproc = process_info()
+
     cfg = TrainGuidanceConfig(setting=args.setting, batch_size=args.batch_size,
                               learning_rate=args.learning_rate,
                               weight_decay=args.weight_decay, num_epochs=args.epochs)
+    if cfg.batch_size % nproc:
+        raise SystemExit(f"--batch-size {cfg.batch_size} must divide over "
+                         f"{nproc} processes")
+    local_bs = cfg.batch_size // nproc  # rows this host feeds per step
     key = jax.random.PRNGKey(args.seed)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
 
@@ -159,29 +169,36 @@ def main():
     features_and_labels = lambda k, imgs: _fl(unet_vars, vae_vars, teacher_vars,
                                               k, imgs)
 
-    mesh = create_mesh()
+    mesh = create_hybrid_mesh() if nproc > 1 else create_mesh()
     state = create_train_state(midu_vars, cfg)
     train_step = make_train_step(lambda p, f: midu.apply(p, f), cfg)
     train_step, state = shard_train_step(train_step, mesh, state)
     eval_step = jax.jit(make_eval_step(lambda p, f: midu.apply(p, f)))
 
     def data_epoch(rng_key, n_batches):
-        """Synthetic or dataset-backed image batches."""
+        """Synthetic or dataset-backed image batches — LOCAL rows only: in
+        multi-host runs each process yields its local_bs slice of the global
+        batch (rank-interleaved dataset / rank-folded synthetic key) and
+        global_from_local assembles the global array below."""
         if args.data_dir and os.path.exists(args.data_dir):
             from rgie_tpu.data import CaptionFeedDataset, iterate_batches
+            from rgie_tpu.data.dataset import ShardedView
 
             ds = CaptionFeedDataset(args.data_dir)
+            if nproc > 1:
+                ds = ShardedView(ds, pid, nproc)
             count = 0
-            for imgs, _ in iterate_batches(ds, cfg.batch_size, image_size, image_size):
-                if imgs.shape[0] == cfg.batch_size:
+            for imgs, _ in iterate_batches(ds, local_bs, image_size, image_size):
+                if imgs.shape[0] == local_bs:
                     yield jnp.asarray(imgs)
                     count += 1
                 if count >= n_batches:
                     break
         else:
             for i in range(n_batches):
-                yield jax.random.uniform(jax.random.fold_in(rng_key, i),
-                                         (cfg.batch_size, image_size, image_size, 3))
+                yield jax.random.uniform(
+                    jax.random.fold_in(rng_key, pid * 100003 + i),
+                    (local_bs, image_size, image_size, 3))
 
     ckpt = BestCheckpointer(args.out_dir)
     for epoch in range(cfg.num_epochs):
@@ -189,27 +206,40 @@ def main():
         train_losses = []
         for bi, images in enumerate(data_epoch(jax.random.fold_in(k5, epoch),
                                                args.num_batches)):
-            feats, labels = features_and_labels(jax.random.fold_in(k5, epoch * 10000 + bi),
-                                                images)
-            feats = shard_batch(feats, mesh)
-            labels = shard_batch(labels, mesh)
+            feats, labels = features_and_labels(
+                jax.random.fold_in(k5, (epoch * 10000 + bi) * nproc + pid),
+                images)
+            if nproc > 1:
+                feats = global_from_local(np.asarray(feats), mesh)
+                labels = global_from_local(np.asarray(labels), mesh)
+            else:
+                feats = shard_batch(feats, mesh)
+                labels = shard_batch(labels, mesh)
             state, loss, _ = train_step(state, feats, labels)
             train_losses.append(float(loss))
 
         val_losses = []
         for bi, images in enumerate(data_epoch(jax.random.fold_in(k5, 777),
                                                args.val_batches)):
-            feats, labels = features_and_labels(jax.random.fold_in(k5, 888 + bi), images)
+            feats, labels = features_and_labels(
+                jax.random.fold_in(k5, (888 + bi) * nproc + pid), images)
+            if nproc > 1:
+                feats = global_from_local(np.asarray(feats), mesh)
+                labels = global_from_local(np.asarray(labels), mesh)
             loss, _ = eval_step(state.params, feats, labels)
             val_losses.append(float(loss))
 
         val_loss = float(np.mean(val_losses))
-        saved = ckpt.maybe_save(val_loss, state.params, int(state.step))
+        # Rank 0 owns the checkpoint (per-rank val shards differ slightly;
+        # params are identical — the train step psums over the global mesh).
+        saved = (ckpt.maybe_save(val_loss, state.params, int(state.step))
+                 if is_main_process() else False)
         print(f"epoch {epoch + 1}/{cfg.num_epochs} "
               f"train {np.mean(train_losses):.5f} val {val_loss:.5f} "
               f"{'(best saved)' if saved else ''} [{time.time() - t0:.1f}s]")
 
-    print(f"best val loss: {ckpt.best_loss:.5f} at {ckpt.best_path}")
+    if is_main_process():
+        print(f"best val loss: {ckpt.best_loss:.5f} at {ckpt.best_path}")
 
 
 if __name__ == "__main__":

@@ -18,14 +18,34 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 def test_eval_report_tiny(tmp_path):
     from run_eval_report import main
 
-    report = main(["--scale", "tiny", "--limit", "2", "--steps", "4",
+    report = main(["--scale", "tiny", "--limit", "2", "--steps", "8",
                    "--diff-steps", "2", "--out-dir", str(tmp_path)])
 
-    # Every backend produced an output for every image.
+    # Every backend produced an output for every image — and actually EDITED
+    # it (VERDICT r3 weak #5: the param backend used to ship identity
+    # outputs; every method must differ from the original pixels).
+    import numpy as np
+    from PIL import Image
+
     imgs = sorted(os.listdir(tmp_path / "images"))
     for name in ("synthetic0", "synthetic1"):
+        orig = np.asarray(Image.open(tmp_path / "images" / f"{name}_o.jpg"),
+                          np.float32)
         for method in ("o", "param", "gan", "diff"):
             assert f"{name}_{method}.jpg" in imgs
+            if method == "o":
+                continue
+            out = np.asarray(Image.open(tmp_path / "images" /
+                                        f"{name}_{method}.jpg"), np.float32)
+            mad = float(np.mean(np.abs(out - orig)))
+            assert mad > 0.5, (name, method, mad)  # jpeg units: >0.5/255 mean
+
+    # Achieved-vs-target VA deltas are reported per backend.
+    vdt = report["va_delta_vs_target"]
+    assert set(vdt) == {"target", "param", "gan", "diff"}
+    assert vdt["target"] == [0.2, 0.2]
+    # The reweighted tiny param edit must have left the identity init.
+    assert any(abs(d) > 1e-4 for d in vdt["param"])
 
     # The report chains scores, stats and FID/KID/ISC quality metrics.
     assert set(report["scores"]["valence"].keys()) == {
