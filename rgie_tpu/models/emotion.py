@@ -31,6 +31,16 @@ from rgie_tpu.ops import geometry as G
 #: (RGIE_STEM_S2D) regressed 1.8x because it transposed each 448px crop.
 TENCROP_S2D = os.environ.get("RGIE_TENCROP_S2D", "1") == "1"
 
+#: Ten-crop-in-s2d(4)-space + PHASE-FOLDED stem output (RGIE_TENCROP_S2D4=1).
+#: Round-4 device trace: the s2d(2) stem's input gradient was still the #1 op
+#: (4.2%, only 12 conv output channels = ~9% MXU lane utilization) and the
+#: maxpool fwd+bwd another 4.1%. s2d(4) input (48ch) + folding the output's
+#: 2x2 phases into channels (256ch at 112²) lifts both stem convs to dense
+#: MXU shapes, and the maxpool becomes exact elementwise phase-maxes
+#: (resnet.max_pool_phase_folded). Requires 4-aligned crop offsets (true at
+#: 480/448: 0/8/16/24/32). OFF by default until device-measured faster.
+TENCROP_S2D4 = os.environ.get("RGIE_TENCROP_S2D4", "0") == "1"
+
 
 @dataclasses.dataclass(frozen=True)
 class EmotionRegressor:
@@ -50,11 +60,21 @@ class EmotionRegressor:
         """(B, H, W, 3) -> (B, num_classes) mean prediction over crops."""
         x = G.resize_shorter_side(images.astype(self.dtype), self.input_size, antialias=True)
         h, w = x.shape[1], x.shape[2]
-        fused = (TENCROP_S2D and key is None and
+        fused4 = (TENCROP_S2D4 and key is None and
+                  G.tencrop_offsets_even(h, w, self.crop_size,
+                                         self.num_replications, block=4))
+        fused = (not fused4 and TENCROP_S2D and key is None and
                  G.tencrop_offsets_even(h, w, self.crop_size,
                                         self.num_replications))
-        model = resnet50(self.num_classes, self.dtype, stem_s2d_input=fused)
-        if fused:
+        model = resnet50(self.num_classes, self.dtype, stem_s2d_input=fused,
+                         stem_s2d4=fused4)
+        if fused4:
+            if self.normalize:
+                x = (x - 0.5) / 0.5
+            x = G.space_to_depth(x, 4)
+            x = G.replicate_and_crop_s2d(x, self.crop_size, h, w,
+                                         self.num_replications, block=4)
+        elif fused:
             if self.normalize:
                 x = (x - 0.5) / 0.5
             x = G.space_to_depth(x, 2)

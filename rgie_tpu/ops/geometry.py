@@ -215,30 +215,32 @@ def space_to_depth(image: jnp.ndarray, block: int = 2) -> jnp.ndarray:
 
 
 def tencrop_offsets_even(h: int, w: int, crop: int,
-                         num_replications: int = 10) -> bool:
-    """True iff every deterministic ten-crop offset (and the extents) is even
-    — the condition for taking the crops in space-to-depth space. Holds at
-    the production 480/448 geometry (offsets 0/8/16/24/32)."""
-    if h % 2 or w % 2 or crop % 2:
+                         num_replications: int = 10, block: int = 2) -> bool:
+    """True iff every deterministic ten-crop offset (and the extents) is
+    divisible by ``block`` — the condition for taking the crops in
+    space-to-depth(block) space. Holds at the production 480/448 geometry
+    (offsets 0/8/16/24/32) for both block=2 and block=4."""
+    if h % block or w % block or crop % block:
         return False
-    return all(t % 2 == 0 and l % 2 == 0
+    return all(t % block == 0 and l % block == 0
                for (t, l) in ten_crop_offsets(h, w, crop)[:num_replications])
 
 
 def replicate_and_crop_s2d(image_s2d: jnp.ndarray, crop: int, h: int, w: int,
-                           num_replications: int = 10) -> jnp.ndarray:
-    """`replicate_and_crop` taken in space-to-depth space: the deterministic
-    ten-crop offsets at the production geometry are all EVEN, so a crop at
-    (t, l) of size `crop` in image space is exactly the crop at (t/2, l/2) of
-    size crop/2 of the s2d tensor. (B, h/2, w/2, 4C) -> (B*N, crop/2, crop/2,
-    4C), same (image, replica) order as replicate_and_crop."""
-    b, _, _, c4 = image_s2d.shape
+                           num_replications: int = 10,
+                           block: int = 2) -> jnp.ndarray:
+    """`replicate_and_crop` taken in space-to-depth(block) space: when the
+    deterministic ten-crop offsets are block-aligned, a crop at (t, l) of
+    size `crop` in image space is exactly the crop at (t/block, l/block) of
+    size crop/block of the s2d tensor. (B, h/b, w/b, b²C) -> (B*N, crop/b,
+    crop/b, b²C), same (image, replica) order as replicate_and_crop."""
+    b, _, _, cb = image_s2d.shape
     offsets = ten_crop_offsets(h, w, crop)[:num_replications]
-    cs = crop // 2
-    crops = [jax.lax.slice(image_s2d, (0, t // 2, l // 2, 0),
-                           (b, t // 2 + cs, l // 2 + cs, c4))
+    cs = crop // block
+    crops = [jax.lax.slice(image_s2d, (0, t // block, l // block, 0),
+                           (b, t // block + cs, l // block + cs, cb))
              for (t, l) in offsets]
-    return jnp.stack(crops, axis=1).reshape(b * len(offsets), cs, cs, c4)
+    return jnp.stack(crops, axis=1).reshape(b * len(offsets), cs, cs, cb)
 
 
 def mean_replicated(x: jnp.ndarray, num_replications: int = 10) -> jnp.ndarray:

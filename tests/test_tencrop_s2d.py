@@ -85,3 +85,49 @@ def test_regressor_fused_gate_falls_back_on_odd_offsets():
                              crop_size=44)
     out = reg(jax.random.uniform(jax.random.PRNGKey(6), (1, 30, 30, 3)))
     assert out.shape == (1, 4)
+
+
+def test_regressor_s2d4_phase_folded_parity(monkeypatch):
+    """Round-4 path: ten-crop in s2d(4) space with the PHASE-FOLDED stem
+    output + elementwise phase-maxpool (resnet.max_pool_phase_folded) must
+    match the standard path exactly — forward and image-gradient."""
+    # 64/48 on a square resize: offsets {0,4,8,12,16} are all 4-aligned,
+    # so the gate actually engages (64/56 offsets include 2 mod 4).
+    reg = E.create_regressor(jax.random.PRNGKey(7), input_size=64,
+                             crop_size=48)
+    images = jax.random.uniform(jax.random.PRNGKey(8), (2, 48, 48, 3))
+    from rgie_tpu.ops import geometry as G
+    assert G.tencrop_offsets_even(64, 64, 48, block=4)
+
+    monkeypatch.setattr(E, "TENCROP_S2D", False)
+    monkeypatch.setattr(E, "TENCROP_S2D4", False)
+    ref = reg(images)
+    monkeypatch.setattr(E, "TENCROP_S2D4", True)
+    fused4 = reg(images)
+    np.testing.assert_allclose(np.asarray(fused4), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(imgs, enabled):
+        monkeypatch.setattr(E, "TENCROP_S2D4", enabled)
+        return jnp.sum(reg(imgs) ** 2)
+
+    g_ref = jax.grad(lambda im: loss(im, False))(images)
+    g4 = jax.grad(lambda im: loss(im, True))(images)
+    # atol dominated by f32 reduction reorder on near-zero elements (the
+    # folded stem sums the same taps in a different order).
+    np.testing.assert_allclose(np.asarray(g4), np.asarray(g_ref),
+                               rtol=1e-3, atol=5e-5)
+
+
+def test_s2d4_gate_requires_mod4_offsets(monkeypatch):
+    # 64/56 offsets {0,2,4,6,8} are even but not all 4-aligned: the s2d4
+    # gate must decline while the s2d(2) gate may still fire.
+    from rgie_tpu.ops import geometry as G
+
+    assert G.tencrop_offsets_even(64, 64, 56, block=2)
+    assert not G.tencrop_offsets_even(64, 64, 56, block=4)
+    monkeypatch.setattr(E, "TENCROP_S2D4", True)
+    reg = E.create_regressor(jax.random.PRNGKey(9), input_size=64,
+                             crop_size=56)
+    out = reg(jax.random.uniform(jax.random.PRNGKey(10), (1, 32, 32, 3)))
+    assert out.shape == (1, 4)
