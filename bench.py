@@ -182,25 +182,9 @@ def measure():
 def _record_history(result):
     """Append the measurement to artifacts/bench_history.jsonl (VERDICT r3
     #8: every on-chip number auditable against a raw run)."""
-    try:
-        import subprocess
+    from rgie_tpu.utils.bench_history import record
 
-        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                             capture_output=True, text=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__)),
-                             timeout=10).stdout.strip() or None
-    except Exception:
-        sha = None
-    entry = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S%z"), "git_sha": sha,
-             "bench": "bench.py", **result}
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "artifacts", "bench_history.jsonl")
-    try:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "a") as f:
-            f.write(json.dumps(entry) + "\n")
-    except OSError as exc:
-        print(f"bench.py: could not append history: {exc!r}", file=sys.stderr)
+    record("bench.py", result)
 
 
 def main():

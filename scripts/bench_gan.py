@@ -84,6 +84,42 @@ def main():
         if anchor.get("size") == args.size:
             vs_baseline = round(anchor["step_seconds"] * args.batch
                                 / (elapsed / args.num_steps), 2)
+
+    # Achieved FLOP/s + MFU (bench.py convention): cost-analyze ONE vmapped
+    # value_and_grad objective step (the exact scan-body computation, minus
+    # the negligible Adam update) and multiply by num_steps — XLA cost
+    # analysis counts scan bodies once.
+    V5E_BF16_PEAK = 197e12
+    tflops = mfu = None
+    try:
+        objective = GE.make_objective(gen, va_loss, cfg)
+        # Precompute the frozen per-image content/style codes EAGERLY: the
+        # scan body differentiates the objective only (encode runs once per
+        # edit, not per step), so the analyzed fn must exclude it.
+        contents, styles = jax.vmap(
+            lambda im: jax.tree.map(lambda x: x[0], gen.encode_a(im[None]))
+        )(images)
+
+        def one_step(models, contents, styles, alphas):
+            def single(content, style, alpha):
+                ctx = GE.GanEditContext(content=content[None],
+                                        target=jnp.clip(alpha, 0.0, 1.0)[None])
+                return jax.value_and_grad(
+                    lambda s: objective(s, ctx, models))(style)
+
+            return jax.vmap(single, in_axes=(0, 0, 0))(contents, styles, alphas)
+
+        cost = (jax.jit(one_step).lower(models, contents, styles, alphas)
+                .compile().cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0))
+        if step_flops > 0:
+            tflops = step_flops * args.num_steps / elapsed / 1e12
+            mfu = tflops * 1e12 / V5E_BF16_PEAK
+    except (AttributeError, KeyError, TypeError, ValueError) as exc:
+        print(f"bench_gan: MFU computation failed: {exc!r}", file=sys.stderr)
+
     row = {
         "metric": f"optimize_image_imaginaire {args.size}px MUNIT edit",
         "value": round(args.batch / elapsed / n_chips, 4),
@@ -93,6 +129,8 @@ def main():
             "batch": args.batch, "steps": args.num_steps,
             "per_step_ms_batched": round(elapsed / args.num_steps * 1000, 2),
             "remat": args.remat, "dtype": args.dtype,
+            "achieved_tflops": round(tflops, 2) if tflops else None,
+            "mfu_pct": round(mfu * 100.0, 2) if mfu else None,
             "edit_seconds": round(elapsed, 3),
             "compile_seconds": round(compile_s, 1), "chips": n_chips,
         },
@@ -102,6 +140,8 @@ def main():
                        "artifacts", "gan_bench.jsonl")
     with open(art, "a") as f:
         f.write(json.dumps(row) + "\n")
+    from rgie_tpu.utils.bench_history import record
+    record("bench_gan.py", row)
 
 
 if __name__ == "__main__":
