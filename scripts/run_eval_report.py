@@ -221,14 +221,17 @@ def main(argv=None):
         report["edits"][name] = {
             "caption": caption,
             "va_delta": deltas,
-            "va_target_delta": np.asarray(alphas).reshape(-1).tolist(),
+            "va_target_delta": [float(a) for a in args.alpha],
         }
         print(f"edited {name} (param/gan/diff)", flush=True)
     report["edit_seconds"] = round(time.time() - t_start, 2)
 
     # Mean achieved VA delta per backend vs the alpha target.
     report["va_delta_vs_target"] = {
-        "target": list(map(float, np.asarray(alphas).reshape(-1))),
+        # Report the CLI-specified targets, not their float32 round-trip
+        # (np.float32(0.2) -> 0.20000000298..., which broke JSON-level
+        # equality checks against the user's own numbers).
+        "target": [float(a) for a in args.alpha],
         **{m: np.mean([e["va_delta"][m] for e in report["edits"].values()],
                       axis=0).round(5).tolist()
            for m in ("param", "gan", "diff")},
