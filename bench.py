@@ -170,6 +170,9 @@ def measure():
             "per_step_ms_batched": round(step_latency_ms, 2),
             "compile_seconds": round(compile_s, 1),
             "chips": n_chips,
+            # Provenance: CPU smoke rows must be distinguishable from
+            # on-chip measurements in bench_history.jsonl.
+            "device": jax.devices()[0].device_kind,
             "dtype": DTYPE,
             "remat": REMAT,
             "torch_cpu_step_seconds": TORCH_CPU_STEP_SECONDS,

@@ -268,6 +268,9 @@ def main():
             "achieved_tflops": round(tflops, 2) if tflops else None,
             "mfu_pct": round(mfu * 100.0, 2) if mfu else None,
             "compile_seconds": round(compile_s, 1), "chips": n_chips,
+            # Provenance: CPU smoke rows must be distinguishable from
+            # on-chip measurements in bench_history.jsonl.
+            "device": jax.devices()[0].device_kind,
         },
     }
     print(json.dumps(row), flush=True)

@@ -133,6 +133,9 @@ def main():
             "mfu_pct": round(mfu * 100.0, 2) if mfu else None,
             "edit_seconds": round(elapsed, 3),
             "compile_seconds": round(compile_s, 1), "chips": n_chips,
+            # Provenance: CPU smoke rows must be distinguishable from
+            # on-chip measurements in bench_history.jsonl.
+            "device": jax.devices()[0].device_kind,
         },
     }
     print(json.dumps(row), flush=True)
