@@ -87,7 +87,12 @@ def measure():
     cfg = ParamEditConfig(optimize=OptimizeConfig(num_steps=NUM_STEPS,
                                                   learning_rate=0.05),
                           remat=REMAT)
-    edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg))
+    # 64 MiB scoped-VMEM limit: device-measured +2.3% on this exact program
+    # (sweep in rgie_tpu/utils/compileopts.py; RGIE_SCOPED_VMEM_KIB=0 off).
+    from rgie_tpu.utils.compileopts import tpu_compiler_options
+
+    edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg),
+                   compiler_options=tpu_compiler_options())
     models = P.models_of(va_loss, clip_enc)
 
     images = jax.random.uniform(k3, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3))

@@ -126,7 +126,13 @@ def main():
     if batch % nproc:
         raise SystemExit(f"--batch {batch} must divide over {nproc} processes")
     local_batch = batch // nproc
-    edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg, dis_model))
+    # 64 MiB scoped-VMEM limit: device-measured +2.3% on this program family
+    # (sweep in rgie_tpu/utils/compileopts.py; RGIE_SCOPED_VMEM_KIB=0 off).
+    from rgie_tpu.utils.compileopts import tpu_compiler_options
+
+    copts = tpu_compiler_options()
+    edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg, dis_model),
+                   compiler_options=copts)
     models = P.models_of(va_loss, clip_enc, dis_vars)
     if nproc > 1 and not args.gradient_free:
         # SPMD path: weights become one globally-replicated tree (every host
@@ -174,7 +180,8 @@ def main():
         # objective — each eval is one device call.
         objective = P.make_objective(va_loss, clip_enc, cfg)
         objective_jit = jax.jit(objective)
-        single_edit = jax.jit(P.make_single_edit(va_loss, clip_enc, cfg))
+        single_edit = jax.jit(P.make_single_edit(va_loss, clip_enc, cfg),
+                              compiler_options=copts)
 
         def gradient_free_edit(image, alpha):
             va0 = va_loss.predict_loss_metric(image)

@@ -1,0 +1,36 @@
+"""tpu_compiler_options: platform gating + env overrides.
+
+The measured sweep behind the 64 MiB default is in
+rgie_tpu/utils/compileopts.py (device-measured 2026-08-19).
+"""
+import jax
+
+from rgie_tpu.utils import compileopts
+
+
+def test_none_on_cpu(monkeypatch):
+    monkeypatch.delenv("RGIE_SCOPED_VMEM_KIB", raising=False)
+    assert jax.default_backend() == "cpu"  # conftest forces cpu
+    assert compileopts.tpu_compiler_options() is None
+
+
+def test_default_on_tpu(monkeypatch):
+    monkeypatch.delenv("RGIE_SCOPED_VMEM_KIB", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert compileopts.tpu_compiler_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536"}
+
+
+def test_env_override_and_disable(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("RGIE_SCOPED_VMEM_KIB", "49152")
+    assert compileopts.tpu_compiler_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "49152"}
+    monkeypatch.setenv("RGIE_SCOPED_VMEM_KIB", "0")
+    assert compileopts.tpu_compiler_options() is None
+
+
+def test_jit_accepts_none_options():
+    # The CPU/None path must leave jax.jit semantics untouched.
+    fn = jax.jit(lambda x: x * 2, compiler_options=compileopts.tpu_compiler_options())
+    assert float(fn(2.0)) == 4.0
