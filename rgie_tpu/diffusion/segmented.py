@@ -70,6 +70,11 @@ def make_segmented_edit(pipe: InversionResamplingPipeline, *,
     end_it = end_iteration if end_iteration is not None else s
     start_iteration = s - end_it
 
+    # Scoped-VMEM compiler option: pure opt-in for the diffusion family until
+    # device-measured (utils/compileopts.py policy). None on CPU/tests.
+    from rgie_tpu.utils.compileopts import tpu_compiler_options
+    copts = tpu_compiler_options(measured_default_kib=None)
+
     # ---- phase programs (vmapped over the batch, compiled lazily) ----------
 
     def prep(params: PipelineParams, image, empty, alpha, added_empty):
@@ -81,7 +86,8 @@ def make_segmented_edit(pipe: InversionResamplingPipeline, *,
         ref = jnp.clip(orig + alpha[None], 0.0, 1.0)
         return orig[0], ref, lat
 
-    jit_prep = jax.jit(jax.vmap(prep, in_axes=(None, 0, None, 0, None)))
+    jit_prep = jax.jit(jax.vmap(prep, in_axes=(None, 0, None, 0, None)),
+                       compiler_options=copts)
 
     def invert_chunk(params, lat, state, empty, added_empty, ts, src_ts, i_vals):
         return pipe.invert_steps(params, lat, state, empty, added_empty,
@@ -91,7 +97,7 @@ def make_segmented_edit(pipe: InversionResamplingPipeline, *,
     # chained windows reuse the buffers instead of copying (no-op on CPU).
     jit_invert = jax.jit(jax.vmap(
         invert_chunk, in_axes=(None, 0, 0, None, None, None, None, None)),
-        donate_argnums=(1, 2))
+        donate_argnums=(1, 2), compiler_options=copts)
 
     def nto_chunk(params, lat_cur, uncond, pivots_rev, cond_embeds,
                   added_cond, added_uncond, i_vals):
@@ -102,7 +108,7 @@ def make_segmented_edit(pipe: InversionResamplingPipeline, *,
 
     jit_nto = jax.jit(jax.vmap(
         nto_chunk, in_axes=(None, 0, 0, 0, 0, 0, 0, None)),
-        donate_argnums=(1, 2))
+        donate_argnums=(1, 2), compiler_options=copts)
 
     def sample_chunk(params, lat, state, cfg_embeds, added_cfg, nto_stack,
                      ref, ts, next_ts, i_vals):
@@ -120,7 +126,7 @@ def make_segmented_edit(pipe: InversionResamplingPipeline, *,
     jit_sample = jax.jit(jax.vmap(
         sample_chunk, in_axes=(None, 0, 0, 0, 0, nto_ax, ref_ax,
                                None, None, None)),
-        donate_argnums=(1, 2))
+        donate_argnums=(1, 2), compiler_options=copts)
 
     def finish(params, lat, empty, added_empty):
         clf = ValenceArousalMidu(model=pipe.midu_model, variables=params.midu)
@@ -130,7 +136,8 @@ def make_segmented_edit(pipe: InversionResamplingPipeline, *,
         _, mid = pipe._unet(params.unet, lat2, t_last, empty, added_empty)
         return img[0], clf.predict(mid)[0]
 
-    jit_finish = jax.jit(jax.vmap(finish, in_axes=(None, 0, None, None)))
+    jit_finish = jax.jit(jax.vmap(finish, in_axes=(None, 0, None, None)),
+                         compiler_options=copts)
 
     def _windows(n: int):
         return [(a, min(a + chunk_steps, n)) for a in range(0, n, chunk_steps)]

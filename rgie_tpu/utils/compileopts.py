@@ -29,8 +29,13 @@ import os
 _DEFAULT_KIB = 65536
 
 
-def tpu_compiler_options() -> dict | None:
+def tpu_compiler_options(measured_default_kib: int | None = _DEFAULT_KIB) -> dict | None:
     """Return ``compiler_options`` for jitting a hot TPU program, or None.
+
+    ``measured_default_kib`` is the limit to apply when the env var is
+    unset: the parametric callers pass the device-measured 64 MiB default;
+    program families where the lever has NOT been measured pass ``None``
+    (pure opt-in — only an explicit ``RGIE_SCOPED_VMEM_KIB`` activates it).
 
     None (= compiler defaults) on CPU/GPU platforms, under the test suite,
     or when RGIE_SCOPED_VMEM_KIB=0. Must only be called where the backend
@@ -40,8 +45,12 @@ def tpu_compiler_options() -> dict | None:
     kib = os.environ.get("RGIE_SCOPED_VMEM_KIB", "")
     if kib == "0":
         return None
+    if not kib:
+        if measured_default_kib is None:
+            return None
+        kib = str(measured_default_kib)
     import jax
 
     if jax.default_backend() != "tpu":
         return None
-    return {"xla_tpu_scoped_vmem_limit_kib": kib or str(_DEFAULT_KIB)}
+    return {"xla_tpu_scoped_vmem_limit_kib": kib}

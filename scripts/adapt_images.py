@@ -331,7 +331,12 @@ def main():
         program = make_segmented_edit(pipe, chunk_steps=args.segment,
                                       **edit_kwargs)
     else:
-        program = jax.jit(make_batched_edit(pipe, **edit_kwargs))
+        # Scoped-VMEM lever: opt-in for diffusion until device-measured
+        # (utils/compileopts.py; activate with RGIE_SCOPED_VMEM_KIB).
+        from rgie_tpu.utils.compileopts import tpu_compiler_options
+        program = jax.jit(make_batched_edit(pipe, **edit_kwargs),
+                          compiler_options=tpu_compiler_options(
+                              measured_default_kib=None))
     empty = embeds_fn("", "")
     added_empty = None
     if is_xl:

@@ -175,9 +175,13 @@ def main():
             use_nto=not args.no_nto, num_inner_steps=args.num_inner,
             chunk_steps=args.segment)
     else:
+        # Scoped-VMEM lever: opt-in for diffusion until device-measured
+        # (utils/compileopts.py; activate with RGIE_SCOPED_VMEM_KIB).
+        from rgie_tpu.utils.compileopts import tpu_compiler_options
         program = jax.jit(make_batched_edit(
             pipe, guidance_scale=2.0, guidance_clf_scale=0.2,
-            use_nto=not args.no_nto, num_inner_steps=args.num_inner))
+            use_nto=not args.no_nto, num_inner_steps=args.num_inner),
+            compiler_options=tpu_compiler_options(measured_default_kib=None))
 
     if args.memory_analysis:
         if args.segment > 0:

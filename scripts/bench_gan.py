@@ -51,7 +51,12 @@ def main():
     cfg = GanEditConfig(
         optimize=OptimizeConfig(num_steps=args.num_steps, learning_rate=0.05),
         input_size=args.size, crop_size=args.size, remat=args.remat)
-    edit = jax.jit(GE.make_batched_edit(gen, va_loss, cfg))
+    # Scoped-VMEM lever: opt-in for the GAN family until device-measured
+    # (utils/compileopts.py; activate with RGIE_SCOPED_VMEM_KIB).
+    from rgie_tpu.utils.compileopts import tpu_compiler_options
+    edit = jax.jit(GE.make_batched_edit(gen, va_loss, cfg),
+                   compiler_options=tpu_compiler_options(
+                       measured_default_kib=None))
     models = GE.models_of(gen, va_loss)
 
     images = jax.random.uniform(k3, (args.batch, args.size, args.size, 3)) * 2 - 1

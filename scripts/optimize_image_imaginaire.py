@@ -121,7 +121,12 @@ def main():
     if batch % nproc:
         raise SystemExit(f"--batch {batch} must divide over {nproc} processes")
     local_batch = batch // nproc
-    edit = jax.jit(GE.make_batched_edit(gen, va_loss, cfg, dis_model))
+    # Scoped-VMEM lever: opt-in for the GAN family until device-measured
+    # (utils/compileopts.py; activate with RGIE_SCOPED_VMEM_KIB).
+    from rgie_tpu.utils.compileopts import tpu_compiler_options
+    edit = jax.jit(GE.make_batched_edit(gen, va_loss, cfg, dis_model),
+                   compiler_options=tpu_compiler_options(
+                       measured_default_kib=None))
     models = GE.models_of(gen, va_loss, dis_vars)
     if nproc > 1:
         models = replicate(models, mesh)

@@ -30,6 +30,19 @@ def test_env_override_and_disable(monkeypatch):
     assert compileopts.tpu_compiler_options() is None
 
 
+def test_opt_in_families(monkeypatch):
+    # Families where the lever is unmeasured (diffusion/GAN) pass
+    # measured_default_kib=None: only an explicit env var activates it.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("RGIE_SCOPED_VMEM_KIB", raising=False)
+    assert compileopts.tpu_compiler_options(measured_default_kib=None) is None
+    monkeypatch.setenv("RGIE_SCOPED_VMEM_KIB", "65536")
+    assert compileopts.tpu_compiler_options(measured_default_kib=None) == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536"}
+    monkeypatch.setenv("RGIE_SCOPED_VMEM_KIB", "0")
+    assert compileopts.tpu_compiler_options(measured_default_kib=None) is None
+
+
 def test_jit_accepts_none_options():
     # The CPU/None path must leave jax.jit semantics untouched.
     fn = jax.jit(lambda x: x * 2, compiler_options=compileopts.tpu_compiler_options())
