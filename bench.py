@@ -91,8 +91,9 @@ def measure():
     # (sweep in rgie_tpu/utils/compileopts.py; RGIE_SCOPED_VMEM_KIB=0 off).
     from rgie_tpu.utils.compileopts import tpu_compiler_options
 
+    copts = tpu_compiler_options()
     edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg),
-                   compiler_options=tpu_compiler_options())
+                   compiler_options=copts)
     models = P.models_of(va_loss, clip_enc)
 
     images = jax.random.uniform(k3, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3))
@@ -183,6 +184,9 @@ def measure():
             "torch_cpu_step_seconds": TORCH_CPU_STEP_SECONDS,
             "achieved_tflops": round(tflops, 2) if tflops else None,
             "mfu_pct": round(mfu * 100.0, 2) if mfu else None,
+            # Exact compiler options passed to jit (VERDICT r4 #3: the row
+            # must be reproducible from its JSONL line alone).
+            "compiler_options": copts,
         },
     }
 

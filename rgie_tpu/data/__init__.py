@@ -11,3 +11,9 @@ from rgie_tpu.data.dataset import (
     load_image_rgb,
     preprocess_image,
 )
+from rgie_tpu.data.stores import (
+    FolderStore,
+    LmdbStore,
+    load_from_folder,
+    load_from_lmdb,
+)

@@ -186,13 +186,12 @@ def dpm_step(sched: DiffusionSchedule, eps: jnp.ndarray, timestep: jnp.ndarray,
 # static for `lax.scan`; stepping works in sigma space (the rounded integer
 # timesteps only feed the UNet).
 #
-# KNOWN convention divergences vs diffusers' DPMSolverMultistepScheduler
-# (ADVICE r3; diffusers is not installed here, so these are documented
-# rather than silently different — outputs are NOT bit-comparable to a
-# diffusers run even with identical weights):
+# DEFAULT-mode convention divergences vs diffusers' DPMSolverMultistep
+# scheduler pair (ADVICE r3; diffusers is not installed here, so these are
+# documented rather than silently different):
 #  1. The karras table interpolates the FULL training sigma range
 #     (train_sig[0]..train_sig[-1], so timesteps[0]=999); diffusers versions
-#     that pre-interpolate to the leading-spaced inference sigmas build
+#     that pre-interpolate to the spacing-selected inference sigmas build
 #     karras between those endpoints (e.g. sigma(980) at 50 steps).
 #  2. The inverse table ends at the dedup'd karras maximum; diffusers'
 #     inverse scheduler appends the training sigma_max as the final entry.
@@ -200,6 +199,15 @@ def dpm_step(sched: DiffusionSchedule, eps: jnp.ndarray, timestep: jnp.ndarray,
 #     real inverse step is second-order; diffusers' first step is
 #     first-order. (Starting the table at sigma=0 instead is numerically
 #     catastrophic — see the inline comment below.)
+#
+# ``diffusers_exact=True`` (VERDICT r4 #6) switches all three to the
+# diffusers conventions so a real checkpoint run is step-for-step comparable
+# to the reference's diffusers run: karras/lu endpoints are taken from the
+# timestep-spacing-selected inference sigma range ("leading" + steps_offset 1
+# is the SD/SDXL scheduler-config default), the inverse table appends the
+# training sigma_max as its final target, and the inverse first step is
+# first-order (no identity prepend; the 2M history starts empty, which is
+# exactly diffusers' lower_order_nums warmup for solver_order=2).
 # ---------------------------------------------------------------------------
 
 
@@ -256,19 +264,41 @@ def make_dpm_sigma_schedule(num_inference_steps: int,
                             beta_schedule: str = "scaled_linear",
                             use_karras_sigmas: bool = True,
                             use_lu_lambdas: bool = False,
-                            inverse: bool = False) -> DpmSigmaSchedule:
+                            inverse: bool = False,
+                            diffusers_exact: bool = False,
+                            timestep_spacing: str = "leading",
+                            steps_offset: int = 1) -> DpmSigmaSchedule:
     """Build the sigma/timestep tables. Forward: descending sigmas ending at
     0. Inverse: ascending sigmas starting at 0 (the clean latent), with
     rounded-timestep duplicates removed (shorter inversion, like the
-    diffusers inverse scheduler)."""
+    diffusers inverse scheduler). ``diffusers_exact`` switches the three
+    documented convention divergences to the diffusers ones (block comment
+    above); ``timestep_spacing``/``steps_offset`` only matter in exact mode
+    and default to the SD/SDXL scheduler-config values."""
     train_sig = _training_sigmas(num_train_timesteps, beta_start, beta_end,
                                  beta_schedule)
     log_sigmas = np.log(train_sig)
+    if diffusers_exact:
+        # diffusers pre-interpolates to the spacing-selected inference
+        # sigmas and builds karras/lu between THOSE endpoints.
+        if timestep_spacing == "leading":
+            ratio = num_train_timesteps // (num_inference_steps + 1)
+            ts_sel = ((np.arange(0, num_inference_steps + 1) * ratio)
+                      .round()[::-1][:-1].astype(np.int64) + steps_offset)
+        elif timestep_spacing == "linspace":
+            ts_sel = (np.linspace(0, num_train_timesteps - 1,
+                                  num_inference_steps + 1)
+                      .round()[::-1][:-1].astype(np.int64))
+        else:
+            raise ValueError(f"unknown timestep_spacing {timestep_spacing!r}")
+        in_sig = np.interp(ts_sel, np.arange(num_train_timesteps), train_sig)
+        sigma_lo, sigma_hi = float(in_sig[-1]), float(in_sig[0])
+    else:
+        sigma_lo, sigma_hi = float(train_sig[0]), float(train_sig[-1])
     if use_karras_sigmas:
-        sig = karras_sigmas(float(train_sig[0]), float(train_sig[-1]),
-                            num_inference_steps)
+        sig = karras_sigmas(sigma_lo, sigma_hi, num_inference_steps)
     elif use_lu_lambdas:
-        sig = np.exp(lu_lambdas(float(log_sigmas[0]), float(log_sigmas[-1]),
+        sig = np.exp(lu_lambdas(np.log(sigma_lo), np.log(sigma_hi),
                                 num_inference_steps))
     else:
         # uniform leading spacing in t, like make_schedule
@@ -284,13 +314,21 @@ def make_dpm_sigma_schedule(num_inference_steps: int,
         _, keep = np.unique(ts, return_index=True)
         keep = np.sort(keep)
         sig, ts = sig[keep], ts[keep]
-        # The clean latent enters at the FIRST table sigma, making step 0 an
-        # identity transition (h=0) — the diffusers DDIMInverseScheduler's
-        # first step is the same identity (source and target both at
-        # alphas_cumprod[0]). Starting from sigma=0 instead is numerically
-        # catastrophic: the (sigma_t/sigma_s) and expm1(-h) terms both blow
-        # up to ~1e10 and their f32 difference loses the signal.
-        sigmas = np.concatenate([sig[:1], sig])
+        if diffusers_exact:
+            # diffusers' inverse scheduler appends the TRAINING sigma_max as
+            # the final target; the clean latent enters at sig[0] and the
+            # first step is first-order (empty 2M history — exactly the
+            # lower_order_nums warmup).
+            sigmas = np.concatenate([sig, [float(train_sig[-1])]])
+        else:
+            # The clean latent enters at the FIRST table sigma, making step 0
+            # an identity transition (h=0) — the diffusers
+            # DDIMInverseScheduler's first step is the same identity (source
+            # and target both at alphas_cumprod[0]). Starting from sigma=0
+            # instead is numerically catastrophic: the (sigma_t/sigma_s) and
+            # expm1(-h) terms both blow up to ~1e10 and their f32 difference
+            # loses the signal.
+            sigmas = np.concatenate([sig[:1], sig])
     else:
         sigmas = np.concatenate([sig, [0.0]])
     return DpmSigmaSchedule(

@@ -32,13 +32,26 @@ def _git_sha() -> str | None:
         return None
 
 
+def rgie_env() -> dict:
+    """All RGIE_* env vars active for this process (VERDICT r4 #3: every
+    perf lever that can change a number must appear in the row itself)."""
+    return {k: v for k, v in sorted(os.environ.items())
+            if k.startswith("RGIE_")}
+
+
 def record(bench: str, row: dict, path: str | None = None) -> None:
     """Append one measurement row under `bench` provenance.
 
-    Never raises: a provenance write failing must not fail the bench.
+    The row's ``detail`` dict is augmented with ``rgie_env`` (every RGIE_*
+    env var) so a bench row is reproducible from its JSONL line alone —
+    benches additionally record the exact ``compiler_options`` dict they
+    passed to jit. Never raises: a provenance write failing must not fail
+    the bench.
     """
+    detail = dict(row.get("detail") or {})
+    detail.setdefault("rgie_env", rgie_env())
     entry = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
-             "git_sha": _git_sha(), "bench": bench, **row}
+             "git_sha": _git_sha(), "bench": bench, **row, "detail": detail}
     if path is None:
         path = os.path.join(_REPO_ROOT, "artifacts", "bench_history.jsonl")
     try:

@@ -8,10 +8,49 @@ entry-point/bench rerun start hot. Called by bench.py and all CLIs.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform as _platform
 from pathlib import Path
 
 _ENABLED = False
+
+
+def host_cpu_features() -> str:
+    """A string identifying this host's CPU ISA surface.
+
+    XLA:CPU AOT results compiled with one feature set (e.g.
+    ``+prefer-no-gather``) can SIGILL or miscompile when loaded on a host
+    without it — the exact ``cpu_aot_loader.cc`` warnings that flooded the
+    round-4 multichip dryrun tail (VERDICT r4 #7). model name + flags of
+    cpu0 + the machine arch pin the entry to hosts where it is valid.
+    """
+    model, flags = "", ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if not model and line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                elif not flags and line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                if model and flags:
+                    break
+    except OSError:
+        pass
+    return f"{_platform.machine()}|{model}|{flags}"
+
+
+def host_scoped_cache_dir(base: str | Path, features: str | None = None) -> Path:
+    """Scope a cache dir by host CPU feature hash.
+
+    Two hosts with different CPU feature strings get disjoint cache dirs, so
+    a persistent-cache entry AOT-compiled for one machine type is never
+    loaded on another (driver-gate reliability: the dryrun must not depend
+    on which machine last wrote the cache).
+    """
+    feats = host_cpu_features() if features is None else features
+    tag = hashlib.sha256(feats.encode()).hexdigest()[:12]
+    return Path(base) / f"host-{tag}"
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
@@ -29,8 +68,9 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     if platform:
         jax.config.update("jax_platforms", platform)
 
-    path = Path(cache_dir or os.environ.get("RGIE_JAX_CACHE_DIR",
+    base = Path(cache_dir or os.environ.get("RGIE_JAX_CACHE_DIR",
                                             Path.home() / ".cache" / "rgie_jax"))
+    path = host_scoped_cache_dir(base)
     path.mkdir(parents=True, exist_ok=True)
     if not _ENABLED:
         jax.config.update("jax_compilation_cache_dir", str(path))

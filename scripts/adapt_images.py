@@ -30,6 +30,13 @@ def main():
                          "rgie_tpu.diffusion.load instead of random init")
     ap.add_argument("--scale", choices=("tiny", "sd", "sdxl"), default="tiny")
     ap.add_argument("--num-steps", type=int, default=50)
+    ap.add_argument("--dpm-diffusers-exact", action="store_true",
+                    help="build the DPM karras/lu sigma tables with the "
+                         "diffusers-exact conventions (inference-range "
+                         "endpoints, appended training sigma_max on the "
+                         "inverse table, first-order first inverse step) so "
+                         "a real-checkpoint run is step-for-step comparable "
+                         "to the reference's diffusers run")
     ap.add_argument("--scheduler", choices=("ddim", "dpm"), default="ddim",
                     help="ddim (reference SD default) or dpm; with --scale "
                          "sdxl, dpm uses karras sigmas + lu lambdas like the "
@@ -174,10 +181,11 @@ def main():
         # karras precedence masks) and the dedup'd inverse table.
         sigma_kw = dict(
             sigma_sched=SCH.make_dpm_sigma_schedule(
-                args.num_steps, use_karras_sigmas=True, use_lu_lambdas=True),
+                args.num_steps, use_karras_sigmas=True, use_lu_lambdas=True,
+                diffusers_exact=args.dpm_diffusers_exact),
             sigma_sched_inv=SCH.make_dpm_sigma_schedule(
                 args.num_steps, use_karras_sigmas=True, use_lu_lambdas=True,
-                inverse=True))
+                inverse=True, diffusers_exact=args.dpm_diffusers_exact))
     if args.remat and args.remat_mode == "block":
         unet = unet.clone(block_remat=True)
     pipe = InversionResamplingPipeline(unet=unet, vae=vae, sched=sched,

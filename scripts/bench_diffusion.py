@@ -167,6 +167,12 @@ def main():
     conds = BatchedConds(**conds_kw)
     alphas = jax.device_put(jnp.zeros((B, 2)), sharding)
 
+    # Scoped-VMEM lever provenance: segmented.py calls the same function with
+    # the same args internally, so this records the exact options its phase
+    # programs are jitted with too.
+    from rgie_tpu.utils.compileopts import tpu_compiler_options
+    copts = tpu_compiler_options(measured_default_kib=None)
+
     if args.segment > 0:
         from rgie_tpu.diffusion.segmented import make_segmented_edit
 
@@ -175,13 +181,10 @@ def main():
             use_nto=not args.no_nto, num_inner_steps=args.num_inner,
             chunk_steps=args.segment)
     else:
-        # Scoped-VMEM lever: opt-in for diffusion until device-measured
-        # (utils/compileopts.py; activate with RGIE_SCOPED_VMEM_KIB).
-        from rgie_tpu.utils.compileopts import tpu_compiler_options
         program = jax.jit(make_batched_edit(
             pipe, guidance_scale=2.0, guidance_clf_scale=0.2,
             use_nto=not args.no_nto, num_inner_steps=args.num_inner),
-            compiler_options=tpu_compiler_options(measured_default_kib=None))
+            compiler_options=copts)
 
     if args.memory_analysis:
         if args.segment > 0:
@@ -275,6 +278,8 @@ def main():
             # Provenance: CPU smoke rows must be distinguishable from
             # on-chip measurements in bench_history.jsonl.
             "device": jax.devices()[0].device_kind,
+            # Exact compiler options passed to jit (VERDICT r4 #3).
+            "compiler_options": copts,
         },
     }
     print(json.dumps(row), flush=True)

@@ -54,9 +54,9 @@ def main():
     # Scoped-VMEM lever: opt-in for the GAN family until device-measured
     # (utils/compileopts.py; activate with RGIE_SCOPED_VMEM_KIB).
     from rgie_tpu.utils.compileopts import tpu_compiler_options
+    copts = tpu_compiler_options(measured_default_kib=None)
     edit = jax.jit(GE.make_batched_edit(gen, va_loss, cfg),
-                   compiler_options=tpu_compiler_options(
-                       measured_default_kib=None))
+                   compiler_options=copts)
     models = GE.models_of(gen, va_loss)
 
     images = jax.random.uniform(k3, (args.batch, args.size, args.size, 3)) * 2 - 1
@@ -141,6 +141,9 @@ def main():
             # Provenance: CPU smoke rows must be distinguishable from
             # on-chip measurements in bench_history.jsonl.
             "device": jax.devices()[0].device_kind,
+            # Exact compiler options passed to jit (VERDICT r4 #3 / ADVICE
+            # r4: opt-in runs must be distinguishable in bench_history).
+            "compiler_options": copts,
         },
     }
     print(json.dumps(row), flush=True)

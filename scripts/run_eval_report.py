@@ -149,10 +149,23 @@ def main(argv=None):
                                  num_downsamples_content=2)
                   if tiny else MunitGenConfig())
     gen = create_generator(keys[2], gcfg_model)
-    gan_cfg = GanEditConfig(optimize=OptimizeConfig(num_steps=steps,
-                                                    learning_rate=0.05))
-    g_edit = jax.jit(GE.make_single_edit(gen, va_loss, gan_cfg))
-    g_models = GE.models_of(gen, va_loss)
+    # The GAN objective must optimize the SAME function the report evaluates
+    # (VERDICT r4 #2 root cause: round 4 fed [-1,1] images to the
+    # normalize=True regressor, i.e. double-normalized — the objective and
+    # the evaluation disagreed and the achieved arousal delta came out
+    # wrong-signed). Same weights, normalize=False: VA(x[-1,1]) here is
+    # EXACTLY the evaluation's VA(x[0,1]).
+    import dataclasses as _dc
+
+    va_loss_gan = ValenceArousalLoss(regressor=_dc.replace(
+        va_loss.regressor, normalize=False))
+    # Tiny scale reweights toward the VA term like the param backend above
+    # (random-weight recon dominates the production weighting otherwise).
+    g_weights = dict(weight_clf=1.0, weight_recon=0.1) if tiny else {}
+    gan_cfg = GanEditConfig(optimize=OptimizeConfig(
+        num_steps=steps, learning_rate=0.1 if tiny else 0.05), **g_weights)
+    g_edit = jax.jit(GE.make_single_edit(gen, va_loss_gan, gan_cfg))
+    g_models = GE.models_of(gen, va_loss_gan)
 
     # ---- backend 3: diffusion edit -----------------------------------------
     from rgie_tpu.diffusion import schedulers as SCH
@@ -183,8 +196,79 @@ def main(argv=None):
         tower_cfg = dict(tower_cfg)
     prompt_enc = create_sd_prompt_encoder(keys[6], tower_cfg)
 
+    if tiny:
+        # Teacher-train the tiny guidance classifier (the reference's own
+        # workflow: clf/train_guidance_clf.py labels mid-block features with
+        # the frozen VA teacher). A RANDOM midu has zero correlation with
+        # the evaluation regressor, so classifier guidance at tiny scale
+        # cannot steer VA except by chance — the round-4 artifact's
+        # wrong-signed diff valence (VERDICT r4 #2). Labels come from the
+        # SAME VA regressor the report evaluates with, on the DECODED
+        # latents, so the guidance gradient points where evaluation looks.
+        from rgie_tpu.config import TrainGuidanceConfig
+        from rgie_tpu.training.train_midu import (create_train_state,
+                                                  make_train_step)
+
+        rng_t = np.random.default_rng(args.seed + 1)
+        uncond1 = prompt_enc.encode_sd("", do_cfg=False)
+        mid_of = jax.jit(lambda p, lat, t: pipe._unet(p.unet, lat, t,
+                                                      uncond1, None)[1])
+        encode = jax.jit(pipe.encode_image)
+        decode = jax.jit(pipe.decode_latents)
+        predict = jax.jit(va_loss.predict_loss_metric)
+        add_noise = jax.jit(lambda lat, eps, t: SCH.add_noise(
+            pipe.sched, lat, eps, t))
+        sched_ts = np.asarray(pipe.sched.timesteps).tolist()
+        feats_l, labels_l = [], []
+        for _, img01, _ in items:
+            x = prep(img01)
+            for _ in range(8):
+                scale = rng_t.uniform(0.6, 1.4, (1, 1, 1, 3)).astype(np.float32)
+                shift = rng_t.uniform(-0.25, 0.25, (1, 1, 1, 3)).astype(np.float32)
+                xv = jnp.clip(x * scale + shift, 0.0, 1.0)
+                lat = encode(d_params, xv)
+                label = np.asarray(predict(decode(d_params, lat)))
+                eps = jnp.asarray(rng_t.standard_normal(lat.shape), jnp.float32)
+                for t in sched_ts:
+                    noisy = add_noise(lat, eps, jnp.asarray([t]))
+                    feats_l.append(np.asarray(mid_of(d_params, noisy,
+                                                     jnp.asarray([t]))))
+                    labels_l.append(label)
+        feats_all = np.concatenate(feats_l)
+        labels_all = np.concatenate(labels_l)
+        tcfg = TrainGuidanceConfig(batch_size=32, learning_rate=3e-3,
+                                   weight_decay=0.0)
+        tstate = create_train_state(midu_vars, tcfg)
+        tstep = jax.jit(make_train_step(lambda p, f: midu.apply(p, f), tcfg))
+        idx = np.arange(len(feats_all))
+        loss0 = loss_t = None
+        for _ in range(40):
+            rng_t.shuffle(idx)
+            for b in range(0, len(idx) - tcfg.batch_size + 1, tcfg.batch_size):
+                sel = idx[b:b + tcfg.batch_size]
+                tstate, loss_t, _ = tstep(tstate, jnp.asarray(feats_all[sel]),
+                                          jnp.asarray(labels_all[sel]))
+                if loss0 is None:
+                    loss0 = float(loss_t)
+        midu_vars = tstate.params
+        d_params = PipelineParams(unet=unet_vars, vae=vae_vars, midu=midu_vars)
+        report["midu_teacher_training"] = {
+            "samples": int(len(feats_all)), "first_loss": round(loss0, 6),
+            "final_loss": round(float(loss_t), 6)}
+        print(f"teacher-trained tiny midu: {len(feats_all)} samples, "
+              f"loss {loss0:.5f} -> {float(loss_t):.5f}", flush=True)
+
+    # Guidance steers the midu-predicted VA toward the SAME per-image target
+    # the param/GAN objectives use (va0 + alpha), via midu_reference_value;
+    # the reference's untargeted minimize-mode default (0.5, 0.0) points
+    # AWAY from a +alpha goal on arousal. Tiny scale needs a larger
+    # clf_scale: the normalized-gradient step moves the latent by
+    # clf_scale per step and 3 tiny steps at 0.2 are invisible.
+    clf_scale = 1.0 if tiny else 0.2
+
     def diffusion_edit(image01, caption):
         lat = pipe.encode_image(d_params, image01)
+        va0 = va_loss.predict_loss_metric(image01)
         cond = prompt_enc.encode_sd(caption, do_cfg=False)
         noisy, pivots = pipe.reverse_sample(d_params, lat, cond)
         cfg_embeds = prompt_enc.encode_sd(caption, do_cfg=True)
@@ -192,8 +276,10 @@ def main(argv=None):
             d_params, pivots, cond, cfg_embeds[0:1], guidance_scale=2.0,
             num_inner_steps=3 if tiny else 10)
         final = pipe.sample(d_params, noisy, cfg_embeds, guidance_scale=2.0,
-                            guidance_clf_scale=0.2,
-                            uncond_embeds_per_step=uncond_steps)
+                            guidance_clf_scale=clf_scale,
+                            uncond_embeds_per_step=uncond_steps,
+                            midu_is_minimized=False,
+                            midu_reference_value=jnp.clip(va0 + alphas, 0.0, 1.0))
         return pipe.decode_latents(d_params, final)
 
     # ---- run all edits -----------------------------------------------------

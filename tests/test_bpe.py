@@ -142,3 +142,23 @@ def test_fix_text_lite_clean(tmp_path):
     assert bpe("ｈｅｌｌｏ") == bpe("hello")
     assert bpe("hello &amp; hello") == bpe("hello & hello")
     assert bpe("hello\x00\x07hello") == bpe("hellohello")
+
+
+def test_fix_encoding_repairs_classic_mojibake():
+    """VERDICT r4 #8: minimal ftfy.fix_encoding — UTF-8 mis-decoded as
+    cp1252/latin-1 is repaired (single and double encoded), while
+    well-formed accented text passes through untouched."""
+    from rgie_tpu.diffusion.bpe import _fix_encoding, _fix_text_lite
+
+    assert _fix_encoding("Ã©") == "é"            # Ã© -> é
+    assert _fix_encoding("cafÃ© naÃ¯ve") == "café naïve"
+    assert _fix_encoding("l'annÃ©e derniÃ¨re") == "l'année dernière"
+    # cp1252 view of a UTF-8 right single quote: â€™ -> ’
+    assert _fix_encoding("donâ€™t") == "don’t"
+    # double-encoded: ÃƒÂ© -> Ã© -> é
+    assert _fix_encoding("ÃƒÂ©") == "é"
+    # clean accented text is NOT "repaired"
+    for clean in ("café naïve", "São Paulo", "hello", "üben—jetzt"):
+        assert _fix_encoding(clean) == clean
+    # end-to-end through the cleaner: mojibake quote becomes ASCII quote
+    assert _fix_text_lite("donâ€™t") == "don't"

@@ -110,12 +110,60 @@ def test_sharded_batched_edit_small(key):
     cfg = ParamEditConfig(optimize=OptimizeConfig(num_steps=2, learning_rate=0.05),
                           input_size=32, crop_size=32, weight_recon=0.2)
     edit = jax.jit(P.make_batched_edit(va, clip_enc, cfg))
-    models = M.replicate(P.models_of(va, clip_enc), mesh)
-    images = M.shard_batch(jax.random.uniform(k2, (8, 32, 32, 3)), mesh)
-    alphas = M.shard_batch(jnp.full((8, 2), 0.1), mesh)
-    result, edited = edit(models, images, alphas)
+    models_r = M.replicate(P.models_of(va, clip_enc), mesh)
+    images = jax.random.uniform(k2, (8, 32, 32, 3))
+    alphas = jnp.full((8, 2), 0.1)
+    result, edited = edit(models_r, M.shard_batch(images, mesh),
+                          M.shard_batch(alphas, mesh))
     assert edited.shape == (8, 32, 32, 3)
+    assert len(edited.sharding.device_set) == 8
     assert np.all(np.isfinite(np.asarray(result.best_loss)))
+    # Numeric equivalence vs the replicated (single-device) run (VERDICT r4
+    # #5, mirroring test_diffusion_batched): a shard-permuting or zeroing
+    # bug cannot pass. Sharded compilation reorders fusions; drift through
+    # the scanned Adam program stays under a pixel quantum.
+    ref_result, ref_edited = edit(P.models_of(va, clip_enc), images, alphas)
+    np.testing.assert_allclose(np.asarray(edited), np.asarray(ref_edited),
+                               atol=1.5e-3)
+    np.testing.assert_allclose(np.asarray(result.best_loss),
+                               np.asarray(ref_result.best_loss), atol=2e-3)
+
+
+def test_sharded_gan_edit_matches_replicated(key):
+    """GAN batched edit, data-sharded vs replicated (VERDICT r4 #5): the
+    MUNIT decode -> regressor -> re-encode objective must produce the SAME
+    edits under the data-axis sharding as on one device."""
+    from rgie_tpu.config import GanEditConfig, MunitGenConfig, OptimizeConfig
+    from rgie_tpu.engine import gan as GE
+    from rgie_tpu.losses.emotion_loss import ValenceArousalLoss
+    from rgie_tpu.models.emotion import create_regressor
+    from rgie_tpu.models.munit import create_generator
+
+    mesh = M.create_mesh()
+    k1, k2, k3 = jax.random.split(key, 3)
+    reg = create_regressor(k1, normalize=False, input_size=40, crop_size=32)
+    va = ValenceArousalLoss(regressor=reg)
+    gen = create_generator(k2, MunitGenConfig(num_filters=8, max_num_filters=32,
+                                              num_filters_mlp=16,
+                                              num_res_blocks=2,
+                                              num_downsamples_style=3,
+                                              num_downsamples_content=2),
+                           image_size=32)
+    cfg = GanEditConfig(optimize=OptimizeConfig(num_steps=2, learning_rate=0.05),
+                        input_size=32, crop_size=32)
+    edit = jax.jit(GE.make_batched_edit(gen, va, cfg))
+    models = GE.models_of(gen, va)
+    images = jax.random.uniform(k3, (8, 32, 32, 3)) * 2 - 1
+    alphas = jnp.full((8, 2), 0.1)
+    ref_result, ref_edited = edit(models, images, alphas)
+    result, edited = edit(M.replicate(models, mesh),
+                          M.shard_batch(images, mesh),
+                          M.shard_batch(alphas, mesh))
+    assert len(edited.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(edited), np.asarray(ref_edited),
+                               atol=1.5e-3)
+    np.testing.assert_allclose(np.asarray(result.best_loss),
+                               np.asarray(ref_result.best_loss), atol=2e-3)
 
 
 def test_tile_positions_and_model_sharding():

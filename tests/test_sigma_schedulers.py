@@ -179,3 +179,105 @@ def test_pipeline_sigma_wiring():
         x, st = SCH.dpm_sigma_step(ss, eps, jnp.asarray(i), x, st)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_diffusers_exact_forward_endpoints():
+    """VERDICT r4 #6: exact mode builds karras between the leading-spaced
+    inference sigma endpoints (steps_offset 1, the SD/SDXL config default),
+    not the full training range — hand-computed: at 10 steps the selected
+    timesteps are 901..91, so the table spans sigma(901)..sigma(91)."""
+    ts_sig = _train_sigmas()
+    sched = SCH.make_dpm_sigma_schedule(10, use_karras_sigmas=True,
+                                        diffusers_exact=True)
+    got = np.asarray(sched.sigmas)
+    ramp = np.linspace(0, 1, 10)
+    smax, smin = ts_sig[901], ts_sig[91]
+    expect = (smax ** (1 / 7.0)
+              + ramp * (smin ** (1 / 7.0) - smax ** (1 / 7.0))) ** 7.0
+    np.testing.assert_allclose(got[:-1], expect, rtol=1e-5)
+    assert got[-1] == 0.0
+    ts = np.asarray(sched.timesteps)
+    assert ts[0] == 901 and ts[-1] == 91
+    # default mode spans the full training range instead
+    dflt = SCH.make_dpm_sigma_schedule(10, use_karras_sigmas=True)
+    assert float(dflt.sigmas[0]) > float(got[0])
+    assert np.asarray(dflt.timesteps)[0] == 999
+
+
+def test_diffusers_exact_linspace_spacing():
+    ts_sig = _train_sigmas()
+    sched = SCH.make_dpm_sigma_schedule(10, use_karras_sigmas=True,
+                                        diffusers_exact=True,
+                                        timestep_spacing="linspace")
+    # linspace(0, 999, 11).round()[::-1][:-1] -> [999, 899, ..., 100]
+    assert np.asarray(sched.timesteps)[0] == 999
+    assert float(sched.sigmas[0]) == pytest.approx(ts_sig[999], rel=1e-5)
+    assert float(sched.sigmas[-2]) == pytest.approx(ts_sig[100], rel=1e-5)
+
+
+def test_diffusers_exact_lu_endpoints():
+    ts_sig = _train_sigmas()
+    sched = SCH.make_dpm_sigma_schedule(8, use_karras_sigmas=False,
+                                        use_lu_lambdas=True,
+                                        diffusers_exact=True)
+    ratio = 1000 // 9
+    ts_sel = (np.arange(9) * ratio).round()[::-1][:-1].astype(int) + 1
+    lmax, lmin = np.log(ts_sig[ts_sel[0]]), np.log(ts_sig[ts_sel[-1]])
+    expect = np.exp(lmax + np.linspace(0, 1, 8) * (lmin - lmax))
+    np.testing.assert_allclose(np.asarray(sched.sigmas)[:-1], expect,
+                               rtol=1e-5)
+
+
+def test_diffusers_exact_inverse_table():
+    """Exact inverse: no identity prepend (first step is first-order, the
+    diffusers lower_order_nums warmup) and the final target is the TRAINING
+    sigma_max, as the diffusers inverse scheduler appends it."""
+    ts_sig = _train_sigmas()
+    inv = SCH.make_dpm_sigma_schedule(10, use_karras_sigmas=True,
+                                      inverse=True, diffusers_exact=True)
+    sig = np.asarray(inv.sigmas)
+    ts = np.asarray(inv.timesteps)
+    assert len(sig) == len(ts) + 1
+    assert sig[0] != sig[1]                      # no identity first step
+    assert np.all(np.diff(sig) > 0)              # strictly ascending
+    assert sig[-1] == pytest.approx(ts_sig[-1], rel=1e-5)  # training max
+    assert np.all(np.diff(ts) > 0)               # dedup'd ascending
+    # dedup still applies at high step counts
+    inv200 = SCH.make_dpm_sigma_schedule(200, use_karras_sigmas=True,
+                                         inverse=True, diffusers_exact=True)
+    assert inv200.num_inference_steps < 200
+    assert len(np.unique(np.asarray(inv200.timesteps))) == \
+        inv200.num_inference_steps
+
+
+def test_diffusers_exact_round_trip():
+    """The exact-mode tables still invert->sample back to the original.
+
+    The diffusers convention is NOT endpoint-self-consistent: the inverse
+    table's final appended target is the TRAINING sigma_max while forward
+    sampling starts at the karras max — so the self-consistent round trip
+    stops the inversion one step early, at the karras max (== the forward
+    table's first sigma), exactly where the reference's end_iteration
+    truncation would leave it."""
+    steps = 6
+    fwd = SCH.make_dpm_sigma_schedule(steps, use_karras_sigmas=True,
+                                      diffusers_exact=True)
+    inv = SCH.make_dpm_sigma_schedule(steps, use_karras_sigmas=True,
+                                      inverse=True, diffusers_exact=True)
+    # no dedup at 6 steps: the inverse sigma grid is the forward one reversed
+    assert float(inv.sigmas[inv.num_inference_steps - 1]) == \
+        pytest.approx(float(fwd.sigmas[0]), rel=1e-6)
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.normal(size=(1, 4, 4, 4)).astype(np.float32)) * 0.2
+    eps = jnp.asarray(rng.normal(size=(1, 4, 4, 4)).astype(np.float32) * 0.1)
+
+    x = x0
+    st = SCH.dpm_init_state(x.shape)
+    for i in range(inv.num_inference_steps - 1):   # stop at the karras max
+        x, st = SCH.dpm_sigma_step(inv, eps, jnp.asarray(i), x, st)
+    assert float(jnp.mean(jnp.abs(x - x0))) > 0.5 * float(jnp.mean(jnp.abs(x0)))
+    st = SCH.dpm_init_state(x.shape)
+    for i in range(fwd.num_inference_steps):
+        x, st = SCH.dpm_sigma_step(fwd, eps, jnp.asarray(i), x, st)
+    bound = 2.0 * float(fwd.sigmas[-2]) * float(jnp.mean(jnp.abs(eps))) + 1e-3
+    assert float(jnp.mean(jnp.abs(x - x0))) < bound

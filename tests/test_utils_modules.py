@@ -205,3 +205,22 @@ def test_orbax_checkpoint_round_trip(tmp_path, key):
     assert not bc.maybe_save(2.0, tree, step=2)
     assert bc.maybe_save(0.5, tree, step=3)
     assert bc.best_loss == 0.5
+
+
+def test_host_scoped_cache_dir_distinct_per_cpu(tmp_path):
+    """VERDICT r4 #7: persistent-cache entries AOT-compiled for one machine
+    type must never be loaded on another — different host CPU feature
+    strings map to disjoint cache dirs."""
+    from rgie_tpu.utils.jaxcache import (host_cpu_features,
+                                         host_scoped_cache_dir)
+
+    a = host_scoped_cache_dir(tmp_path, features="x86_64|Xeon|aes avx512f")
+    b = host_scoped_cache_dir(tmp_path, features="x86_64|Xeon|aes")
+    assert a != b
+    assert a.parent == b.parent == tmp_path
+    assert a.name.startswith("host-") and b.name.startswith("host-")
+    # same features -> same dir (the scoping is deterministic)
+    assert a == host_scoped_cache_dir(tmp_path, features="x86_64|Xeon|aes avx512f")
+    # the real feature string is non-degenerate on this host
+    feats = host_cpu_features()
+    assert "|" in feats and len(feats) > 8
