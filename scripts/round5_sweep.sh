@@ -23,7 +23,12 @@ run() { # run <name> <timeout_s> <cmd...>
 run gan_trace 3000 python scripts/profile_param_edit.py --workload gan \
     --size 256 --batch 4 --steps 10 --logdir /tmp/rgie_trace_gan
 
-# 2. GAN scoped-VMEM sweep
+# 2. Flagship compiler-option sweep EARLY: its outcome can change the
+#    round-5 default in compileopts.py, so measure it before the
+#    longer scoped-VMEM sweeps.
+run flagship_copt_sweep 14400 python scripts/sweep_compiler_options.py --runs 2
+
+# 3. GAN scoped-VMEM sweep
 unset RGIE_SCOPED_VMEM_KIB
 run gan_svmem_default 2400 python scripts/bench_gan.py --size 256 --batch 4
 for kib in 49152 65536 98304 131072; do
@@ -31,7 +36,7 @@ for kib in 49152 65536 98304 131072; do
       env RGIE_SCOPED_VMEM_KIB=$kib python scripts/bench_gan.py --size 256 --batch 4
 done
 
-# 3. Diffusion scoped-VMEM sweep (SD-512 monolith batch 2, block remat)
+# 4. Diffusion scoped-VMEM sweep (SD-512 monolith batch 2, block remat)
 run diff_svmem_default 3600 python scripts/bench_diffusion.py \
     --scale sd --batch 2 --remat-mode block --runs 2
 for kib in 49152 65536 98304 131072; do
@@ -39,8 +44,5 @@ for kib in 49152 65536 98304 131072; do
       env RGIE_SCOPED_VMEM_KIB=$kib python scripts/bench_diffusion.py \
       --scale sd --batch 2 --remat-mode block --runs 2
 done
-
-# 4. Flagship compiler-option sweep
-run flagship_copt_sweep 14400 python scripts/sweep_compiler_options.py
 
 echo "=== $(date -u +%H:%M:%S) ALL DONE" | tee -a "$LOGS/queue.log"
