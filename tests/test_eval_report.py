@@ -40,12 +40,32 @@ def test_eval_report_tiny(tmp_path):
             mad = float(np.mean(np.abs(out - orig)))
             assert mad > 0.5, (name, method, mad)  # jpeg units: >0.5/255 mean
 
-    # Achieved-vs-target VA deltas are reported per backend.
+    # Achieved-vs-target VA deltas are reported per backend, plus the
+    # diffusion unguided control and the guidance term's marginal effect.
     vdt = report["va_delta_vs_target"]
-    assert set(vdt) == {"target", "param", "gan", "diff"}
+    assert set(vdt) == {"target", "param", "gan", "diff", "diff_unguided",
+                        "diff_guidance_effect"}
     assert vdt["target"] == [0.2, 0.2]
-    # The reweighted tiny param edit must have left the identity init.
-    assert any(abs(d) > 1e-4 for d in vdt["param"])
+    # Direction-correctness per backend per axis (VERDICT r4 #2). The
+    # param and GAN optimizers directly minimize distance to va0+alpha under
+    # the SAME regressor the report evaluates with, so their mean achieved
+    # delta must carry the target's sign on BOTH axes (measured at this
+    # exact config+seed: param [+0.014, +0.048], gan [+0.0116, +0.0116]).
+    for method in ("param", "gan"):
+        for axis, d in zip(("valence", "arousal"), vdt[method]):
+            assert d > 0.0, (method, axis, d, "target +0.2 -> mean delta "
+                             "must be positive")
+    # The diffusion backend at tiny scale is measured UNABLE to steer: the
+    # guidance term's marginal effect (guided minus clf-scale-0 control,
+    # same inversion/NTO/resample) sits below the drift noise floor —
+    # probed up to clf-scale 8 it stays |effect| <= ~0.003. Assert the
+    # control rows exist, are finite, and the effect is honestly small
+    # rather than pretending the drift-dominated 'diff' row is steering.
+    import math
+
+    for key in ("diff", "diff_unguided", "diff_guidance_effect"):
+        assert all(math.isfinite(d) for d in vdt[key]), (key, vdt[key])
+    assert all(abs(d) < 0.05 for d in vdt["diff_guidance_effect"]), vdt
 
     # The report chains scores, stats and FID/KID/ISC quality metrics.
     assert set(report["scores"]["valence"].keys()) == {
