@@ -12,12 +12,22 @@ was device-measured (2026-08-19, /tmp probe sweep recorded in BASELINE.md):
     96 MiB        1.0676
     128 MiB       1.0394   (over-reserving starves the allocator)
 
-Policy (repo rule: measure before keeping): the 64 MiB default is applied
-only to program families where it was measured to win — the parametric
-edit. Other programs opt in via ``RGIE_SCOPED_VMEM_KIB``; ``0`` disables
-everywhere. The option goes through ``jax.jit(compiler_options=...)`` so it
-reaches the (possibly remote) TPU compiler; the client-side XLA_FLAGS parser
-does not know TPU flag names on this host.
+The round-5 curated sweep over further TPU options
+(scripts/sweep_compiler_options.py, tables in BASELINE.md) found ONE more
+riser: the bundle-aware fusion cost model, +0.7% over the svmem64 champion
+(1.0744 -> 1.0821 at --runs 2, re-confirmed 1.0743 -> 1.0819 at --runs 4);
+every other accepted candidate was a wash within +/-0.15%. It joins the
+flagship default below.
+
+Policy (repo rule: measure before keeping): these defaults are applied only
+to program families where they were measured to win — the parametric edit.
+Scoped-VMEM was swept on the GAN and diffusion benches too and LOSES there
+(monotonically; tables in BASELINE.md), so those jit sites keep compiler
+defaults; experiments go through ``RGIE_SCOPED_VMEM_KIB`` (``0`` disables)
+or the generic ``RGIE_XLA_OPTS="name=value,..."`` merge. The options go
+through ``jax.jit(compiler_options=...)`` so they reach the (possibly
+remote) TPU compiler; the client-side XLA_FLAGS parser does not know TPU
+flag names on this host.
 
 No reference analog: the reference leaves compiler tuning to torch defaults
 (`/root/reference/src/optimize_image_param.py` has no backend knobs).
@@ -42,15 +52,27 @@ def tpu_compiler_options(measured_default_kib: int | None = _DEFAULT_KIB) -> dic
     is about to be initialized anyway (CLI/bench main paths) — deciding the
     platform touches jax.default_backend().
     """
+    opts: dict[str, str] = {}
     kib = os.environ.get("RGIE_SCOPED_VMEM_KIB", "")
-    if kib == "0":
-        return None
-    if not kib:
-        if measured_default_kib is None:
-            return None
+    if not kib and measured_default_kib is not None:
         kib = str(measured_default_kib)
+        # The second measured flagship win (round-5 confirm A/B, +0.7%)
+        # rides the same measured-family gate as the scoped-VMEM default.
+        if os.environ.get("RGIE_BUNDLE_COST_MODEL", "1") != "0":
+            opts["xla_tpu_use_bundle_aware_cost_model_for_fusions"] = "true"
+    if kib and kib != "0":
+        opts["xla_tpu_scoped_vmem_limit_kib"] = kib
+    # Generic experiment lever: RGIE_XLA_OPTS="name=value,name=value" merges
+    # over the measured defaults (bench rows record the final dict, so every
+    # A/B run is reproducible from its bench_history.jsonl line alone).
+    extra = os.environ.get("RGIE_XLA_OPTS", "")
+    for kv in filter(None, (p.strip() for p in extra.split(","))):
+        name, _, value = kv.partition("=")
+        opts[name.strip()] = value.strip()
+    if not opts:
+        return None
     import jax
 
     if jax.default_backend() != "tpu":
         return None
-    return {"xla_tpu_scoped_vmem_limit_kib": kib}
+    return opts

@@ -15,8 +15,16 @@ def test_none_on_cpu(monkeypatch):
 
 
 def test_default_on_tpu(monkeypatch):
+    # The measured flagship default: 64 MiB scoped VMEM (round-4 sweep)
+    # + bundle-aware fusion cost model (round-5 confirm A/B, +0.7%).
     monkeypatch.delenv("RGIE_SCOPED_VMEM_KIB", raising=False)
+    monkeypatch.delenv("RGIE_BUNDLE_COST_MODEL", raising=False)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert compileopts.tpu_compiler_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536",
+        "xla_tpu_use_bundle_aware_cost_model_for_fusions": "true"}
+    # Each default is independently disablable.
+    monkeypatch.setenv("RGIE_BUNDLE_COST_MODEL", "0")
     assert compileopts.tpu_compiler_options() == {
         "xla_tpu_scoped_vmem_limit_kib": "65536"}
 
@@ -41,6 +49,30 @@ def test_opt_in_families(monkeypatch):
         "xla_tpu_scoped_vmem_limit_kib": "65536"}
     monkeypatch.setenv("RGIE_SCOPED_VMEM_KIB", "0")
     assert compileopts.tpu_compiler_options(measured_default_kib=None) is None
+
+
+def test_generic_xla_opts_lever(monkeypatch):
+    # RGIE_XLA_OPTS="k=v,k2=v2" merges over the measured defaults — the
+    # generic A/B lever (every bench row records the final dict).
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("RGIE_SCOPED_VMEM_KIB", raising=False)
+    monkeypatch.setenv("RGIE_XLA_OPTS",
+                       "xla_tpu_use_bundle_aware_cost_model_for_fusions=true")
+    assert compileopts.tpu_compiler_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536",
+        "xla_tpu_use_bundle_aware_cost_model_for_fusions": "true"}
+    # Works for opt-in families (no scoped-VMEM default), overrides the
+    # scoped-VMEM key when named explicitly, and tolerates spaces/empties.
+    assert compileopts.tpu_compiler_options(measured_default_kib=None) == {
+        "xla_tpu_use_bundle_aware_cost_model_for_fusions": "true"}
+    monkeypatch.setenv("RGIE_XLA_OPTS",
+                       " xla_tpu_scoped_vmem_limit_kib=98304 , ")
+    monkeypatch.setenv("RGIE_BUNDLE_COST_MODEL", "0")
+    assert compileopts.tpu_compiler_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "98304"}
+    monkeypatch.setenv("RGIE_XLA_OPTS", "")
+    monkeypatch.setenv("RGIE_SCOPED_VMEM_KIB", "0")
+    assert compileopts.tpu_compiler_options() is None
 
 
 def test_jit_accepts_none_options():
