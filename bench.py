@@ -36,6 +36,8 @@ NUM_STEPS = 100
 IMAGE_SIZE = 256
 # Batch sweep on-chip (2026-08): 8 -> 0.9076, 12 -> 1.000, 16 -> 0.8765
 # img/s/chip (16 spills; remat at 16 is worse still, 0.64). 12 is the knee.
+# Re-swept round 5 under the adopted compiler options (svmem64 + bundle
+# cost model): 10 -> 1.014, 12 -> 1.082, 14 -> 0.930, 16 -> 0.933 — unmoved.
 BATCH = int(os.environ.get("RGIE_BENCH_BATCH", "12"))
 # bfloat16 runs the frozen regressor/CLIP compute on the MXU fast path with
 # f32 loss/optimizer masters (the 41 edit params and Adam state stay f32).
