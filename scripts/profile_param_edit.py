@@ -107,7 +107,12 @@ def main():
         cfg = GanEditConfig(optimize=OptimizeConfig(num_steps=args.steps,
                                                     learning_rate=0.05),
                             input_size=size, crop_size=size, remat=args.remat)
-        edit = jax.jit(GE.make_batched_edit(gen, va_loss, cfg))
+        # GAN family keeps compiler defaults by measurement (BASELINE.md
+        # round-5 sweeps) — options here are pure env opt-in, like bench_gan.
+        from rgie_tpu.utils.compileopts import tpu_compiler_options
+        edit = jax.jit(GE.make_batched_edit(gen, va_loss, cfg),
+                       compiler_options=tpu_compiler_options(
+                           measured_default_kib=None))
         models = GE.models_of(gen, va_loss)
         images = jax.random.uniform(k3, (args.batch, size, size, 3)) * 2 - 1
     else:
@@ -124,7 +129,11 @@ def main():
         cfg = ParamEditConfig(optimize=OptimizeConfig(num_steps=args.steps,
                                                       learning_rate=0.05),
                               remat=args.remat)
-        edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg))
+        # Trace the program the flagship actually ships: the measured default
+        # compiler options (svmem64 + bundle cost model), same as bench.py.
+        from rgie_tpu.utils.compileopts import tpu_compiler_options
+        edit = jax.jit(P.make_batched_edit(va_loss, clip_enc, cfg),
+                       compiler_options=tpu_compiler_options())
         models = P.models_of(va_loss, clip_enc)
         images = jax.random.uniform(k3, (args.batch, size, size, 3))
     alphas = jnp.full((args.batch, 2), 0.1)

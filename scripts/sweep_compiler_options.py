@@ -45,9 +45,35 @@ CANDIDATES = [
      {"xla_tpu_memory_space_assignment_max_retries": "3"}),
     ("svmem64+vector_load_fusion_off",
      {"xla_tpu_vector_load_fusion": "false"}),
+    # --- round-2 set: base is the ADOPTED default (svmem64 + bundle-aware
+    # fusion cost model). Run via --only with "r2:" labels. Probes XLA's
+    # generic optimization-effort knobs plus fusion-strategy toggles.
+    ("r2:base(svmem64+bundle)", {"_bundle": "1"}),
+    # exec/memory effort are FLOAT-typed in ExecutableBuildOptions — string
+    # values die client-side with a TypeError before reaching the compiler.
+    ("r2:exec_effort_0.7",
+     {"_bundle": "1", "exec_time_optimization_effort": 0.7}),
+    ("r2:exec_effort_1.0",
+     {"_bundle": "1", "exec_time_optimization_effort": 1.0}),
+    ("r2:memory_fitting_effort_0.7",
+     {"_bundle": "1", "memory_fitting_effort": 0.7}),
+    ("r2:latency_hiding_sched",
+     {"_bundle": "1", "xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    ("r2:no_nested_dot_fusion",
+     {"_bundle": "1", "xla_tpu_nested_dot_fusion": "false"}),
+    ("r2:no_dot_dot_fusion",
+     {"_bundle": "1", "xla_tpu_dot_dot_fusion": "false"}),
+    ("r2:experimental_fusion_cost_model",
+     {"_bundle": "1", "xla_tpu_enable_experimental_fusion_cost_model": "true"}),
+    ("r2:scavenge_vmem_for_fusions",
+     {"_bundle": "1", "xla_tpu_scavenge_vmem_for_fusions": "true"}),
 ]
 
 BASE = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+# "_bundle" marker in a candidate dict folds the adopted bundle-aware cost
+# model into its base (kept out of BASE so the round-1 rows stay comparable
+# to their original runs).
+BUNDLE = {"xla_tpu_use_bundle_aware_cost_model_for_fusions": "true"}
 
 
 def main():
@@ -88,7 +114,12 @@ def main():
     for label, extra in CANDIDATES:
         if only and label not in only:
             continue
-        copts = None if extra is None else {**BASE, **extra}
+        if extra is None:
+            copts = None
+        else:
+            extra = dict(extra)
+            bundle = BUNDLE if extra.pop("_bundle", None) else {}
+            copts = {**BASE, **bundle, **extra}
         row = {"metric": "compiler-option sweep (flagship batch-12 edit)",
                "label": label, "unit": "images/sec/chip",
                "detail": {"batch": args.batch, "steps": args.num_steps,
